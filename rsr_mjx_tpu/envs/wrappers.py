@@ -1,0 +1,184 @@
+"""Training wrappers, re-implemented natively.
+
+Reference semantics (load-bearing for training dynamics — SURVEY §7):
+  - Episode: step counting, time-limit done, ``truncation`` flag feeding
+    GAE bootstrapping (brax EpisodeWrapper; RSR/losses.py:147-148).
+  - AutoReset: caches the post-reset state and restores it where done
+    (mujoco_playground/_src/wrapper.py:117-138).
+  - Vmap: batch envs along a leading axis (brax VmapWrapper /
+    wrapper.py:69-71).
+  - DomainRandomization: vmap over a batched model with an in_axes pytree
+    (wrapper.py:139-165).
+  - SelectObservation: extract one key of a dict obs (wrapper.py:77-114).
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rsr_mjx_tpu.envs.core import Env, State, Wrapper
+from rsr_mjx_tpu.physics.types import Model
+
+
+class EpisodeWrapper(Wrapper):
+  """Time limit + action repeat (brax episode semantics)."""
+
+  def __init__(self, env: Env, episode_length: int, action_repeat: int = 1):
+    super().__init__(env)
+    self.episode_length = episode_length
+    self.action_repeat = action_repeat
+
+  def reset(self, rng: jax.Array) -> State:
+    state = self.env.reset(rng)
+    state.info['steps'] = jnp.zeros(rng.shape[:-1])
+    state.info['truncation'] = jnp.zeros(rng.shape[:-1])
+    return state
+
+  def step(self, state: State, action: jax.Array) -> State:
+    def f(state, _):
+      nstate = self.env.step(state, action)
+      return nstate, nstate.reward
+
+    state, rewards = jax.lax.scan(f, state, (), self.action_repeat)
+    state = state.replace(reward=jnp.sum(rewards, axis=0))
+    steps = state.info['steps'] + self.action_repeat
+    one = jnp.ones_like(state.done)
+    zero = jnp.zeros_like(state.done)
+    done = jnp.where(steps >= self.episode_length, one, state.done)
+    state.info['truncation'] = jnp.where(
+        steps >= self.episode_length, 1 - state.done, zero
+    )
+    state.info['steps'] = steps
+    return state.replace(done=done)
+
+
+class AutoResetWrapper(Wrapper):
+  """Reset to the cached first state where done (wrapper.py:117-138).
+
+  The cached state comes from the true ``reset``; restoring it instead of
+  re-running reset keeps the step function cheap and shape-static (no
+  per-env RNG resample inside the rollout scan) — identical to the
+  reference's training-time behavior.
+  """
+
+  def reset(self, rng: jax.Array) -> State:
+    state = self.env.reset(rng)
+    state.info['first_data'] = state.data
+    state.info['first_obs'] = state.obs
+    return state
+
+  def step(self, state: State, action: jax.Array) -> State:
+    if 'steps' in state.info:
+      steps = state.info['steps']
+      steps = jnp.where(state.done, jnp.zeros_like(steps), steps)
+      state.info['steps'] = steps
+    state = state.replace(done=jnp.zeros_like(state.done))
+    state = self.env.step(state, action)
+
+    def where_done(x, y):
+      done = state.done
+      if done.shape:
+        done = jnp.reshape(done, [x.shape[0]] + [1] * (len(x.shape) - 1))
+      return jnp.where(done, x, y)
+
+    data = jax.tree.map(where_done, state.info['first_data'], state.data)
+    obs = jax.tree.map(where_done, state.info['first_obs'], state.obs)
+    return state.replace(data=data, obs=obs)
+
+
+class VmapWrapper(Wrapper):
+  """Batch envs along the leading axis (brax VmapWrapper)."""
+
+  def __init__(self, env: Env, batch_size: Optional[int] = None):
+    super().__init__(env)
+    self.batch_size = batch_size
+
+  def reset(self, rng: jax.Array) -> State:
+    if self.batch_size is not None and rng.ndim == 1:
+      rng = jax.random.split(rng, self.batch_size)
+    return jax.vmap(self.env.reset)(rng)
+
+  def step(self, state: State, action: jax.Array) -> State:
+    return jax.vmap(self.env.step)(state, action)
+
+
+class DomainRandomizationVmapWrapper(Wrapper):
+  """Vmap reset/step over a batched randomized model (wrapper.py:139-165).
+
+  ``randomization_fn(model) -> (model_batched, in_axes)`` where
+  ``model_batched`` has a leading env axis on the randomized leaves and
+  ``in_axes`` is a matching pytree of 0/None (reference randomizers:
+  ppo_train/airbot_training/domain_randomize.py:76-91, go2/randomize.py).
+  """
+
+  def __init__(
+      self,
+      env: Env,
+      randomization_fn: Callable[[Model], Tuple[Model, Model]],
+  ):
+    super().__init__(env)
+    self._model_v, self._in_axes = randomization_fn(self.env.model)
+
+  def _env_fn(self, model: Model) -> Env:
+    env = copy.copy(self.env.unwrapped)
+    env.bind_model(model)
+    return env
+
+  def reset(self, rng: jax.Array) -> State:
+    def reset_fn(model, rng):
+      return self._env_fn(model).reset(rng)
+
+    return jax.vmap(reset_fn, in_axes=[self._in_axes, 0])(self._model_v, rng)
+
+  def step(self, state: State, action: jax.Array) -> State:
+    def step_fn(model, state, action):
+      return self._env_fn(model).step(state, action)
+
+    return jax.vmap(step_fn, in_axes=[self._in_axes, 0, 0])(
+        self._model_v, state, action
+    )
+
+
+class SelectObservationWrapper(Wrapper):
+  """Flatten a dict obs to one of its keys (wrapper.py:77-114) — used to
+  feed the SAC policy the ``state`` key of Go2's dict obs."""
+
+  def __init__(self, env: Env, key: str = 'state'):
+    super().__init__(env)
+    self._key = key
+
+  def reset(self, rng: jax.Array) -> State:
+    state = self.env.reset(rng)
+    return state.replace(obs=state.obs[self._key])
+
+  def step(self, state: State, action: jax.Array) -> State:
+    # the inner env builds its obs dict from data alone; reconstruct the
+    # full dict is unnecessary — inner step only reads state.data/info
+    nstate = self.env.step(state, action)
+    return nstate.replace(obs=nstate.obs[self._key])
+
+  @property
+  def observation_size(self):
+    return self.env.observation_size[self._key][-1]
+
+
+def wrap_for_training(
+    env: Env,
+    episode_length: int = 1000,
+    action_repeat: int = 1,
+    randomization_fn: Optional[Callable] = None,
+    num_envs: Optional[int] = None,
+) -> Env:
+  """Standard training stack: [Vmap | DRVmap] → Episode → AutoReset
+  (wrapper.py:41-74 ordering)."""
+  if randomization_fn is None:
+    env = VmapWrapper(env, batch_size=num_envs)
+  else:
+    env = DomainRandomizationVmapWrapper(env, randomization_fn)
+  env = EpisodeWrapper(env, episode_length, action_repeat)
+  env = AutoResetWrapper(env)
+  return env

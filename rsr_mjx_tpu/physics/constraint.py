@@ -1,0 +1,359 @@
+"""Constraint assembly: MuJoCo's soft-constraint model with static shapes.
+
+Emits a fixed-layout constraint system (J, aref, D, ...) each step:
+
+  rows = [equality | dof friction loss | joint limits | contact pyramids]
+
+Separated contacts / inactive limits keep their rows but get vanishing
+impedance, so the solver sees a static problem — the XLA-friendly
+equivalent of MuJoCo's dynamic efc arrays.  Semantics follow the MuJoCo
+computation spec (solref/solimp impedance, Baumgarte-style aref, pyramidal
+friction cones); the Airbot models lean on condim-4 contacts, dof friction
+loss and a joint-equality gripper coupling (cube.xml:49-93, :168-170).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rsr_mjx_tpu.physics.types import Data, EqType, JointType, Model
+
+_MJ_MINVAL = 1e-15
+_MINIMP = 0.0001
+_MAXIMP = 0.9999
+
+# row kinds
+EQUALITY = 0
+FRICTION = 1
+LIMIT = 2
+CONTACT = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class EfcLayout:
+  """Static description of the constraint rows for a model."""
+
+  nefc: int
+  n_eq: int
+  n_fri: int
+  n_lim: int
+  n_con: int
+  kind: np.ndarray  # (nefc,) row kind
+
+
+def _contact_rows(condim: int) -> int:
+  return 1 if condim == 1 else 2 * (condim - 1)
+
+
+def contact_condims(m: Model) -> list:
+  """Static per-contact condim, in collision.py's assembly order."""
+  from rsr_mjx_tpu.physics.io import GROUP_NCON
+
+  out = []
+  for name, tbl in m.pairs:
+    for row in tbl.arr:
+      out.extend([int(row[2])] * GROUP_NCON[name])
+  return out
+
+
+def layout(m: Model) -> EfcLayout:
+  n_eq = 0
+  for e in range(m.neq):
+    t = int(m.eq_type[e])
+    if t == EqType.JOINT:
+      n_eq += 1
+    elif t == EqType.CONNECT:
+      n_eq += 3
+    elif t == EqType.WELD:
+      n_eq += 6
+    else:
+      raise NotImplementedError(f'equality type {t}')
+  n_fri = m.nv  # one potential friction-loss row per dof (zero-bound inert)
+  n_lim = 2 * int(np.sum(m.jnt_limited.arr != 0))
+  n_con = sum(_contact_rows(cd) for cd in contact_condims(m))
+  kind = np.concatenate(
+      [
+          np.full(n_eq, EQUALITY),
+          np.full(n_fri, FRICTION),
+          np.full(n_lim, LIMIT),
+          np.full(n_con, CONTACT),
+      ]
+  ).astype(np.int32)
+  return EfcLayout(len(kind), n_eq, n_fri, n_lim, n_con, kind)
+
+
+def count_rows(m: Model) -> int:
+  return layout_cached(m).nefc
+
+
+_LAYOUT_CACHE: dict = {}
+
+
+def layout_cached(m: Model) -> EfcLayout:
+  key = (
+      m.neq,
+      m.nv,
+      m.jnt_limited,
+      tuple((n, t) for n, t in m.pairs),
+      m.ncon,
+  )
+  if key not in _LAYOUT_CACHE:
+    _LAYOUT_CACHE[key] = layout(m)
+  return _LAYOUT_CACHE[key]
+
+
+def _impedance(solimp: jax.Array, pos: jax.Array) -> jax.Array:
+  """MuJoCo constraint impedance d(pos) from solimp=(dmin,dmax,width,mid,p)."""
+  dmin, dmax, width, mid, power = (
+      solimp[..., 0],
+      solimp[..., 1],
+      solimp[..., 2],
+      solimp[..., 3],
+      solimp[..., 4],
+  )
+  dmin = jnp.clip(dmin, _MINIMP, _MAXIMP)
+  dmax = jnp.clip(dmax, _MINIMP, _MAXIMP)
+  width = jnp.maximum(width, _MJ_MINVAL)
+  mid = jnp.clip(mid, _MINIMP, _MAXIMP)
+  power = jnp.maximum(power, 1.0)
+
+  x = jnp.clip(jnp.abs(pos) / width, 0.0, 1.0)
+  # piecewise sigmoid: y = a x^p (x<=mid), 1 - b (1-x)^p (x>mid)
+  a = 1.0 / jnp.power(mid, power - 1.0)
+  b = 1.0 / jnp.power(1.0 - mid, power - 1.0)
+  y = jnp.where(
+      x <= mid,
+      a * jnp.power(x, power),
+      1.0 - b * jnp.power(1.0 - x, power),
+  )
+  return jnp.clip(dmin + y * (dmax - dmin), _MINIMP, _MAXIMP)
+
+
+def _kbi(solref: jax.Array, solimp: jax.Array, pos: jax.Array,
+         dmax: jax.Array):
+  """Stiffness/damping from solref (standard or direct form)."""
+  timeconst, dampratio = solref[..., 0], solref[..., 1]
+  standard = timeconst > 0
+  tc = jnp.where(standard, jnp.maximum(timeconst, _MJ_MINVAL), 1.0)
+  dr = jnp.where(standard, jnp.maximum(dampratio, _MJ_MINVAL), 1.0)
+  k_std = 1.0 / jnp.maximum(dmax * dmax * tc * tc * dr * dr, _MJ_MINVAL)
+  b_std = 2.0 / jnp.maximum(dmax * tc, _MJ_MINVAL)
+  k_dir = -solref[..., 0] / jnp.maximum(dmax * dmax, _MJ_MINVAL)
+  b_dir = -solref[..., 1] / jnp.maximum(dmax, _MJ_MINVAL)
+  k = jnp.where(standard, k_std, k_dir)
+  b = jnp.where(standard, b_std, b_dir)
+  return k, b
+
+
+@dataclasses.dataclass
+class Efc:
+  """Traced constraint system handed to the solver (not a pytree — built
+  and consumed within one jitted forward call)."""
+
+  J: jax.Array  # (nefc, nv)
+  aref: jax.Array  # (nefc,)
+  D: jax.Array  # (nefc,) constraint stiffness (1/R)
+  floss: jax.Array  # (nefc,) friction-loss bound (friction rows only)
+  kind: np.ndarray  # static (nefc,)
+
+
+def make_constraints(m: Model, d: Data) -> Efc:
+  """Assemble the traced constraint system for this step."""
+  return _assemble(m, d)
+
+
+def _assemble(m: Model, d: Data) -> Efc:
+  lay = layout_cached(m)
+  dtype = d.qpos.dtype
+  nv = m.nv
+
+  J_rows = []
+  pos_rows = []
+  solref_rows = []
+  solimp_rows = []
+  diagA_rows = []
+  floss_rows = []
+  margin_rows = []
+
+  zero = jnp.zeros((), dtype=dtype)
+  one = jnp.ones((), dtype=dtype)
+
+  # ---- equality (JOINT type: q1 - q1_0 = poly(q2 - q2_0))
+  for e in range(m.neq):
+    t = int(m.eq_type[e])
+    if t != EqType.JOINT:
+      raise NotImplementedError('connect/weld equality not yet implemented')
+    j1 = int(m.eq_obj1id[e])
+    j2 = int(m.eq_obj2id[e])
+    q1adr, v1adr = int(m.jnt_qposadr[j1]), int(m.jnt_dofadr[j1])
+    data = m.eq_data[e]
+    row = jnp.zeros(nv, dtype=dtype).at[v1adr].set(1.0)
+    if j2 >= 0 and j2 < m.njnt and j2 != j1:
+      q2adr, v2adr = int(m.jnt_qposadr[j2]), int(m.jnt_dofadr[j2])
+      dif = d.qpos[q2adr] - m.qpos0[q2adr]
+      poly = (
+          data[0]
+          + data[1] * dif
+          + data[2] * dif**2
+          + data[3] * dif**3
+          + data[4] * dif**4
+      )
+      dpoly = (
+          data[1]
+          + 2 * data[2] * dif
+          + 3 * data[3] * dif**2
+          + 4 * data[4] * dif**3
+      )
+      pos = (d.qpos[q1adr] - m.qpos0[q1adr]) - poly
+      row = row.at[v2adr].set(-dpoly)
+      diagA = m.dof_invweight0[v1adr] + m.dof_invweight0[v2adr]
+    else:
+      pos = d.qpos[q1adr] - m.qpos0[q1adr] - data[0]
+      diagA = m.dof_invweight0[v1adr]
+    J_rows.append(row)
+    pos_rows.append(pos)
+    solref_rows.append(m.eq_solref[e])
+    solimp_rows.append(m.eq_solimp[e])
+    diagA_rows.append(diagA)
+    floss_rows.append(zero)
+    margin_rows.append(zero)
+
+  # ---- dof friction loss (inert when frictionloss == 0)
+  eye = jnp.eye(nv, dtype=dtype)
+  for v in range(nv):
+    J_rows.append(eye[v])
+    pos_rows.append(zero)
+    solref_rows.append(m.dof_solref[v])
+    solimp_rows.append(m.dof_solimp[v])
+    diagA_rows.append(m.dof_invweight0[v])
+    floss_rows.append(m.dof_frictionloss[v])
+    margin_rows.append(zero)
+
+  # ---- joint limits (two one-sided rows per limited joint)
+  for j in range(m.njnt):
+    if not m.jnt_limited[j]:
+      continue
+    jt = int(m.jnt_type[j])
+    if jt not in (JointType.HINGE, JointType.SLIDE):
+      raise NotImplementedError('ball/free limits')
+    qadr, vadr = int(m.jnt_qposadr[j]), int(m.jnt_dofadr[j])
+    lo, hi = m.jnt_range[j][0], m.jnt_range[j][1]
+    for sign, bound in ((1.0, lo), (-1.0, hi)):
+      J_rows.append(eye[vadr] * sign)
+      pos_rows.append(sign * (d.qpos[qadr] - bound))
+      solref_rows.append(m.jnt_solref[j])
+      solimp_rows.append(m.jnt_solimp[j])
+      diagA_rows.append(m.dof_invweight0[vadr])
+      floss_rows.append(zero)
+      margin_rows.append(m.jnt_margin[j])
+
+  # ---- contacts (pyramidal cones)
+  if m.ncon:
+    con = d.contact
+    g1 = con.geom1.arr
+    g2 = con.geom2.arr
+    b1 = m.geom_bodyid.arr[g1]
+    b2 = m.geom_bodyid.arr[g2]
+    # translational jacobian of contact point on each body: (ncon, nv, 3)
+    ang = d.cdof[:, :3]
+    lin = d.cdof[:, 3:]
+    rel = con.pos[:, None, :] - d.cdof_anchor[None, :, :]
+    jac_t = lin[None] + jnp.cross(
+        jnp.broadcast_to(ang[None], rel.shape), rel
+    )
+    mask1 = jnp.asarray(m.anc_mask.arr[b1], dtype=dtype)[:, :, None]
+    mask2 = jnp.asarray(m.anc_mask.arr[b2], dtype=dtype)[:, :, None]
+    jac_p = jac_t * mask2 - jac_t * mask1  # relative: body2 − body1
+    jac_r = ang[None] * mask2 - ang[None] * mask1
+
+    inv1 = m.body_invweight0[b1][:, 0]
+    inv2 = m.body_invweight0[b2][:, 0]
+    invweight = inv1 + inv2
+
+    for c in range(m.ncon):
+      cd = int(con.condim[c])
+      n = con.frame[c, 0]
+      Jn = jac_p[c] @ n  # (nv,)
+      pos_c = con.dist[c]
+      margin_c = zero  # margins folded into dist upstream (geom_margin=0)
+      if cd == 1:
+        J_rows.append(Jn)
+        pos_rows.append(pos_c)
+        solref_rows.append(con.solref[c])
+        solimp_rows.append(con.solimp[c])
+        diagA_rows.append(invweight[c])
+        floss_rows.append(zero)
+        margin_rows.append(margin_c)
+      else:
+        # pyramidal: for each friction axis i: rows Jn ± mu_i J_i
+        axes = []
+        mus = []
+        for i in range(cd - 1):
+          if i < 2:
+            t = con.frame[c, 1 + i]
+            axes.append(jac_p[c] @ t)
+          elif i == 2:
+            axes.append(jac_r[c] @ n)  # torsional
+          else:
+            t = con.frame[c, 1 + (i - 3)]
+            axes.append(jac_r[c] @ t)  # rolling
+          mus.append(con.friction[c, i])
+        mu0 = con.friction[c, 0]
+        for i in range(cd - 1):
+          for sgn in (1.0, -1.0):
+            J_rows.append(Jn + sgn * mus[i] * axes[i])
+            pos_rows.append(pos_c)
+            solref_rows.append(con.solref[c])
+            solimp_rows.append(con.solimp[c])
+            # MuJoCo pyramid diagApprox ≈ invweight * 2 μ0² / impratio
+            diagA_rows.append(
+                invweight[c]
+                * 2.0
+                * jnp.maximum(mu0 * mu0, _MJ_MINVAL)
+                / m.opt.impratio
+            )
+            floss_rows.append(zero)
+            margin_rows.append(margin_c)
+
+  J = jnp.stack(J_rows) if J_rows else jnp.zeros((0, nv), dtype=dtype)
+  pos = jnp.stack(pos_rows) if pos_rows else jnp.zeros((0,), dtype=dtype)
+  solref = (
+      jnp.stack(solref_rows) if solref_rows else jnp.zeros((0, 2), dtype=dtype)
+  )
+  solimp = (
+      jnp.stack(solimp_rows) if solimp_rows else jnp.zeros((0, 5), dtype=dtype)
+  )
+  diagA = (
+      jnp.stack(diagA_rows) if diagA_rows else jnp.zeros((0,), dtype=dtype)
+  )
+  floss = (
+      jnp.stack(floss_rows) if floss_rows else jnp.zeros((0,), dtype=dtype)
+  )
+  margin = (
+      jnp.stack(margin_rows) if margin_rows else jnp.zeros((0,), dtype=dtype)
+  )
+
+  kind = lay.kind
+  assert J.shape[0] == lay.nefc, (J.shape, lay)
+
+  # one-sided rows (limits, contacts) deactivate when pos >= margin... the
+  # impedance already vanishes smoothly; additionally gate D to ~0 for
+  # clearly separated rows to keep the Newton Hessian well-behaved.
+  imp = _impedance(solimp, pos - margin)
+  k, b = _kbi(solref, solimp, pos, solimp[:, 1])
+  vel = J @ d.qvel
+  aref = -b * vel - k * imp * (pos - margin)
+  R = jnp.maximum(_MJ_MINVAL, (1.0 - imp) / jnp.maximum(imp, _MJ_MINVAL) * diagA)
+  D = 1.0 / R
+
+  onesided = (kind == LIMIT) | (kind == CONTACT)
+  separated = pos - margin >= 0.0
+  D = jnp.where(jnp.asarray(onesided) & separated, 0.0, D)
+  aref = jnp.where(jnp.asarray(onesided) & separated, 0.0, aref)
+
+  return Efc(J=J, aref=aref, D=D, floss=floss, kind=kind)

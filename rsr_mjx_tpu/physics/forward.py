@@ -1,0 +1,174 @@
+"""Forward dynamics pipeline and integrators.
+
+``step(m, d)`` is the hot path of the whole framework — it is what runs a
+few thousand times per second per env under jit/vmap (reference role:
+``mjx.step`` inside the env substep scan, mujoco_playground/_src/
+mjx_env.py:55-65).  Pipeline stages:
+
+  kinematics → com_vel → crb → rne → passive → actuation → fwd_velocity
+  → collision → constraint assembly → Newton solve → integrate
+
+Everything is static-shape, pure, and differentiable (the RSR
+``env_params_tuning`` differentiates straight through this function;
+reference: RSR/rsr_pipeline.py:125-174).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from rsr_mjx_tpu.physics import collision as _collision
+from rsr_mjx_tpu.physics import constraint as _constraint
+from rsr_mjx_tpu.physics import kinematics as _kin
+from rsr_mjx_tpu.physics import lie
+from rsr_mjx_tpu.physics import sensors as _sensors
+from rsr_mjx_tpu.physics import smooth as _smooth
+from rsr_mjx_tpu.physics import solver as _solver
+from rsr_mjx_tpu.physics.types import (
+    Contact,
+    Data,
+    IntegratorType,
+    JointType,
+    Model,
+)
+
+
+def make_data(m: Model, dtype=jnp.float32) -> Data:
+  """Fresh Data at qpos0 with zero velocity (equiv. mjx.make_data)."""
+  z = lambda *shape: jnp.zeros(shape, dtype=dtype)
+  nefc = _constraint.count_rows(m)
+  d = Data(
+      qpos=jnp.asarray(m.qpos0, dtype=dtype),
+      qvel=z(m.nv),
+      ctrl=z(m.nu),
+      act=z(m.na),
+      time=jnp.zeros((), dtype=dtype),
+      xfrc_applied=z(m.nbody, 6),
+      xpos=z(m.nbody, 3),
+      xquat=z(m.nbody, 4),
+      xmat=z(m.nbody, 3, 3),
+      xipos=z(m.nbody, 3),
+      ximat=z(m.nbody, 3, 3),
+      geom_xpos=z(m.ngeom, 3),
+      geom_xmat=z(m.ngeom, 3, 3),
+      site_xpos=z(m.nsite, 3),
+      site_xmat=z(m.nsite, 3, 3),
+      subtree_com=z(m.nbody, 3),
+      cdof=z(m.nv, 6),
+      cdof_anchor=z(m.nv, 3),
+      cvel=z(m.nbody, 6),
+      qM=z(m.nv, m.nv),
+      qLD=z(m.nv, m.nv),
+      qfrc_bias=z(m.nv),
+      qfrc_passive=z(m.nv),
+      qfrc_actuator=z(m.nv),
+      qfrc_applied=z(m.nv),
+      actuator_force=z(m.nu),
+      qfrc_smooth=z(m.nv),
+      qacc_smooth=z(m.nv),
+      qfrc_constraint=z(m.nv),
+      qacc=z(m.nv),
+      contact=Contact(
+          dist=jnp.full((m.ncon,), 1e10, dtype=dtype),
+          pos=z(m.ncon, 3),
+          frame=z(m.ncon, 3, 3),
+          friction=z(m.ncon, 5),
+          solref=z(m.ncon, 2),
+          solimp=z(m.ncon, 5),
+          geom1=None,
+          geom2=None,
+          condim=None,
+      ),
+      efc_force=z(nefc),
+      sensordata=z(m.nsensordata),
+  )
+  return d
+
+
+def fwd_position(m: Model, d: Data) -> Data:
+  d = _kin.kinematics(m, d)
+  d = _kin.com_vel(m, d)
+  d = _smooth.crb(m, d)
+  d = _collision.collision(m, d)
+  return d
+
+
+def forward(m: Model, d: Data) -> Data:
+  """Full forward dynamics: fills qacc (and everything before it)."""
+  d = fwd_position(m, d)
+  d = _smooth.rne(m, d)
+  d = _smooth.passive(m, d)
+  d = _smooth.actuation(m, d)
+  d = _smooth.fwd_velocity(m, d)
+  efc = _constraint.make_constraints(m, d)
+  d = _solver.solve(m, d, efc)
+  d = _sensors.sensordata(m, d)
+  return d
+
+
+def _integrate_pos(m: Model, qpos: jax.Array, qvel: jax.Array, dt) -> jax.Array:
+  """Integrate qpos by qvel (free-joint quaternions on the manifold)."""
+  out = qpos
+  for ji in range(m.njnt):
+    jt = int(m.jnt_type[ji])
+    qadr = int(m.jnt_qposadr[ji])
+    vadr = int(m.jnt_dofadr[ji])
+    if jt == JointType.FREE:
+      out = out.at[qadr : qadr + 3].add(dt * qvel[vadr : vadr + 3])
+      quat = lie.quat_integrate(
+          qpos[qadr + 3 : qadr + 7], qvel[vadr + 3 : vadr + 6], dt
+      )
+      out = out.at[qadr + 3 : qadr + 7].set(quat)
+    elif jt == JointType.BALL:
+      quat = lie.quat_integrate(
+          qpos[qadr : qadr + 4], qvel[vadr : vadr + 3], dt
+      )
+      out = out.at[qadr : qadr + 4].set(quat)
+    else:
+      out = out.at[qadr].add(dt * qvel[vadr])
+  return out
+
+
+def _implicit_qacc(m: Model, d: Data) -> jax.Array:
+  """(M − h ∂f/∂v)⁻¹ f_total for Euler-implicit damping / implicitfast.
+
+  Euler integrates joint damping implicitly (MuJoCo mj_Euler semantics);
+  implicitfast additionally treats the actuator velocity gain/bias
+  implicitly (affine-bias kv of <position> actuators, cube.xml:173-180).
+  """
+  h = m.opt.timestep
+  qfrc = d.qfrc_smooth + d.qfrc_constraint
+  D = jnp.diag(m.dof_damping)
+  if m.opt.integrator == IntegratorType.IMPLICITFAST and m.nu > 0:
+    moment = _smooth.actuator_moment(m, d)  # (nu, nv)
+    dgain = (
+        m.actuator_gainprm[:, 2] * d.ctrl + m.actuator_biasprm[:, 2]
+    )  # d force_u / d vel_u
+    # zero the rows where force is clamped? (approximation: keep)
+    D = D - moment.T @ (dgain[:, None] * moment)
+  MhD = d.qM + h * D
+  return jax.scipy.linalg.solve(MhD, qfrc, assume_a='pos')
+
+
+def integrate(m: Model, d: Data) -> Data:
+  h = m.opt.timestep
+  integ = m.opt.integrator
+  if integ not in (
+      IntegratorType.EULER,
+      IntegratorType.IMPLICIT,
+      IntegratorType.IMPLICITFAST,
+  ):
+    raise NotImplementedError(f'integrator {integ}')
+  # Euler integrates damping implicitly; implicitfast also folds in the
+  # actuator velocity-derivative.  With zero damping this equals explicit.
+  qacc = _implicit_qacc(m, d)
+  qvel = d.qvel + h * qacc
+  qpos = _integrate_pos(m, d.qpos, qvel, h)
+  return d.replace(qpos=qpos, qvel=qvel, qacc=qacc, time=d.time + h)
+
+
+def step(m: Model, d: Data) -> Data:
+  """One physics step: forward dynamics + integration."""
+  d = forward(m, d)
+  return integrate(m, d)

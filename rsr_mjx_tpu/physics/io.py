@@ -1,0 +1,319 @@
+"""Host-side model conversion: mujoco.MjModel -> TPU-native Model.
+
+The C MuJoCo compiler resolves MJCF defaults/classes and precomputes
+quantities we reuse directly (qpos0, invweight0, inertias).  We additionally
+precompute the *static collision pair table* here — the TPU engine has no
+runtime broad-phase; every geom pair that may ever touch gets a fixed
+contact slot, giving fully static shapes under jit (the idiomatic XLA
+replacement for the reference's dynamic nconmax buffers, cube.xml:36).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+import mujoco
+
+from rsr_mjx_tpu.physics.types import (
+    GeomType,
+    JointType,
+    Model,
+    Option,
+    StaticArr,
+)
+
+# contacts emitted per pair, keyed by collision-function group
+GROUP_NCON = {
+    'plane_sphere': 1,
+    'plane_capsule': 2,
+    'plane_box': 4,
+    'hfield_sphere': 1,
+    'sphere_sphere': 1,
+    'sphere_capsule': 1,
+    'sphere_box': 1,
+    'capsule_capsule': 1,
+    'capsule_box': 2,
+    'box_box': 8,
+}
+
+_TYPE_TO_NAME = {
+    GeomType.PLANE: 'plane',
+    GeomType.HFIELD: 'hfield',
+    GeomType.SPHERE: 'sphere',
+    GeomType.CAPSULE: 'capsule',
+    GeomType.BOX: 'box',
+}
+
+
+def _pair_group(t1: int, t2: int):
+  """Return (group_name, swap) for a geom type pair, or None."""
+  n1 = _TYPE_TO_NAME.get(t1)
+  n2 = _TYPE_TO_NAME.get(t2)
+  if n1 is None or n2 is None:
+    return None
+  for (a, b), name in _GROUPS.items():
+    if (n1, n2) == (a, b):
+      return name, False
+    if (n1, n2) == (b, a):
+      return name, True
+  return None
+
+
+_GROUPS = {
+    ('plane', 'sphere'): 'plane_sphere',
+    ('plane', 'capsule'): 'plane_capsule',
+    ('plane', 'box'): 'plane_box',
+    ('hfield', 'sphere'): 'hfield_sphere',
+    ('sphere', 'sphere'): 'sphere_sphere',
+    ('sphere', 'capsule'): 'sphere_capsule',
+    ('sphere', 'box'): 'sphere_box',
+    ('capsule', 'capsule'): 'capsule_capsule',
+    ('capsule', 'box'): 'capsule_box',
+    ('box', 'box'): 'box_box',
+}
+
+
+def _collision_pairs(mjm: mujoco.MjModel):
+  """Enumerate geom pairs following MuJoCo's filtering rules
+  (contype/conaffinity masks, weld/parent filters, <exclude> list)."""
+  exclude = set()
+  for i in range(mjm.nexclude):
+    sig = int(mjm.exclude_signature[i])
+    exclude.add((sig >> 16, sig & 0xFFFF))
+
+  groups: dict[str, list] = {name: [] for name in GROUP_NCON}
+  weld = mjm.body_weldid
+  weld_parent = np.array(
+      [mjm.body_weldid[mjm.body_parentid[weld[b]]] for b in range(mjm.nbody)]
+  )
+
+  for g1 in range(mjm.ngeom):
+    for g2 in range(g1 + 1, mjm.ngeom):
+      b1, b2 = int(mjm.geom_bodyid[g1]), int(mjm.geom_bodyid[g2])
+      # contype/conaffinity compatibility
+      ok = (mjm.geom_contype[g1] & mjm.geom_conaffinity[g2]) or (
+          mjm.geom_contype[g2] & mjm.geom_conaffinity[g1]
+      )
+      if not ok:
+        continue
+      w1, w2 = int(weld[b1]), int(weld[b2])
+      if w1 == w2:
+        continue
+      # parent-child filter (unless parent is world)
+      if weld_parent[b2] == w1 and w1 != 0:
+        continue
+      if weld_parent[b1] == w2 and w2 != 0:
+        continue
+      if (w1, w2) in exclude or (w2, w1) in exclude:
+        continue
+      t1, t2 = int(mjm.geom_type[g1]), int(mjm.geom_type[g2])
+      if t1 == GeomType.PLANE and t2 == GeomType.PLANE:
+        continue
+      got = _pair_group(t1, t2)
+      if got is None:
+        raise NotImplementedError(
+            f'unsupported geom type pair ({t1},{t2}) for geoms {g1},{g2}'
+        )
+      name, swap = got
+      a, b = (g2, g1) if swap else (g1, g2)
+      # condim: priority rules, else max
+      p1, p2 = int(mjm.geom_priority[g1]), int(mjm.geom_priority[g2])
+      if p1 > p2:
+        condim = int(mjm.geom_condim[g1])
+      elif p2 > p1:
+        condim = int(mjm.geom_condim[g2])
+      else:
+        condim = max(int(mjm.geom_condim[g1]), int(mjm.geom_condim[g2]))
+      groups[name].append((a, b, condim))
+
+  # explicit <pair> entries (mjm.pair_*) override condim; append them
+  for i in range(mjm.npair):
+    g1, g2 = int(mjm.pair_geom1[i]), int(mjm.pair_geom2[i])
+    t1, t2 = int(mjm.geom_type[g1]), int(mjm.geom_type[g2])
+    name, swap = _pair_group(t1, t2)
+    a, b = (g2, g1) if swap else (g1, g2)
+    groups[name].append((a, b, int(mjm.pair_dim[i])))
+
+  out = []
+  for name in GROUP_NCON:
+    arr = np.array(groups[name], dtype=np.int32).reshape(-1, 3)
+    out.append((name, StaticArr(arr)))
+  return tuple(out)
+
+
+def _ancestor_masks(mjm: mujoco.MjModel):
+  """anc_mask[b, j] = 1 iff dof j actuates an ancestor chain of body b."""
+  nb, nv = mjm.nbody, mjm.nv
+  anc = np.zeros((nb, nv), dtype=np.float32)
+  for b in range(1, nb):
+    cur = b
+    while cur != 0:
+      adr, num = int(mjm.body_dofadr[cur]), int(mjm.body_dofnum[cur])
+      if num > 0:
+        anc[b, adr : adr + num] = 1.0
+      cur = int(mjm.body_parentid[cur])
+  dof_anc = np.zeros((nv, nv), dtype=np.float32)
+  for i in range(nv):
+    b = int(mjm.dof_bodyid[i])
+    dof_anc[i] = anc[b]
+    # mask out dofs of the same body that come after i (MuJoCo's dense M
+    # includes all pairs within a joint's dof block; anc already covers it)
+  return StaticArr(anc), StaticArr(dof_anc)
+
+
+def put_model(mjm: mujoco.MjModel, dtype=jnp.float32) -> Model:
+  """Convert a compiled mujoco.MjModel into the TPU-native Model pytree."""
+
+  def J(x):  # numeric leaf
+    return jnp.asarray(np.array(x), dtype=dtype)
+
+  def S(x):  # static topology
+    return StaticArr(np.array(x))
+
+  pairs = _collision_pairs(mjm)
+  ncon = sum(GROUP_NCON[name] * len(tbl.arr) for name, tbl in pairs)
+  anc_mask, dof_anc = _ancestor_masks(mjm)
+
+  names = {
+      'body': {mjm.body(i).name: i for i in range(mjm.nbody)},
+      'joint': {mjm.joint(i).name: i for i in range(mjm.njnt)},
+      'geom': {mjm.geom(i).name: i for i in range(mjm.ngeom)},
+      'site': {mjm.site(i).name: i for i in range(mjm.nsite)},
+      'sensor': {mjm.sensor(i).name: i for i in range(mjm.nsensor)},
+      'actuator': {mjm.actuator(i).name: i for i in range(mjm.nu)},
+  }
+  # dicts aren't hashable; freeze
+  names = tuple((k, tuple(sorted(v.items()))) for k, v in names.items())
+
+  opt = Option(
+      timestep=J(mjm.opt.timestep),
+      gravity=J(mjm.opt.gravity),
+      integrator=int(mjm.opt.integrator),
+      iterations=int(mjm.opt.iterations),
+      ls_iterations=int(mjm.opt.ls_iterations),
+      cone=int(mjm.opt.cone),
+      impratio=float(mjm.opt.impratio),
+      disableflags=int(mjm.opt.disableflags),
+  )
+
+  m = Model(
+      nq=int(mjm.nq),
+      nv=int(mjm.nv),
+      nu=int(mjm.nu),
+      na=int(mjm.na),
+      nbody=int(mjm.nbody),
+      njnt=int(mjm.njnt),
+      ngeom=int(mjm.ngeom),
+      nsite=int(mjm.nsite),
+      neq=int(mjm.neq),
+      nsensor=int(mjm.nsensor),
+      nsensordata=int(mjm.nsensordata),
+      opt=opt,
+      qpos0=J(mjm.qpos0),
+      body_pos=J(mjm.body_pos),
+      body_quat=J(mjm.body_quat),
+      body_ipos=J(mjm.body_ipos),
+      body_iquat=J(mjm.body_iquat),
+      body_mass=J(mjm.body_mass),
+      body_inertia=J(mjm.body_inertia),
+      body_invweight0=J(mjm.body_invweight0),
+      jnt_axis=J(mjm.jnt_axis),
+      jnt_pos=J(mjm.jnt_pos),
+      jnt_range=J(mjm.jnt_range),
+      jnt_solref=J(mjm.jnt_solref),
+      jnt_solimp=J(mjm.jnt_solimp),
+      jnt_stiffness=J(mjm.jnt_stiffness),
+      jnt_margin=J(mjm.jnt_margin),
+      dof_armature=J(mjm.dof_armature),
+      dof_damping=J(mjm.dof_damping),
+      dof_frictionloss=J(mjm.dof_frictionloss),
+      dof_invweight0=J(mjm.dof_invweight0),
+      dof_solref=J(mjm.dof_solref),
+      dof_solimp=J(mjm.dof_solimp),
+      geom_pos=J(mjm.geom_pos),
+      geom_quat=J(mjm.geom_quat),
+      geom_size=J(mjm.geom_size),
+      geom_friction=J(mjm.geom_friction),
+      geom_solref=J(mjm.geom_solref),
+      geom_solimp=J(mjm.geom_solimp),
+      geom_solmix=J(mjm.geom_solmix),
+      geom_margin=J(mjm.geom_margin),
+      geom_gap=J(mjm.geom_gap),
+      site_pos=J(mjm.site_pos),
+      site_quat=J(mjm.site_quat),
+      eq_data=J(mjm.eq_data) if mjm.neq else J(np.zeros((0, 11))),
+      eq_solref=J(mjm.eq_solref) if mjm.neq else J(np.zeros((0, 2))),
+      eq_solimp=J(mjm.eq_solimp) if mjm.neq else J(np.zeros((0, 5))),
+      actuator_gainprm=J(mjm.actuator_gainprm),
+      actuator_biasprm=J(mjm.actuator_biasprm),
+      actuator_ctrlrange=J(mjm.actuator_ctrlrange),
+      actuator_forcerange=J(mjm.actuator_forcerange),
+      actuator_gear=J(mjm.actuator_gear),
+      hfield_data=J(mjm.hfield_data) if mjm.nhfield else None,
+      key_qpos=J(mjm.key_qpos) if mjm.nkey else None,
+      key_ctrl=J(mjm.key_ctrl) if mjm.nkey else None,
+      body_parentid=S(mjm.body_parentid),
+      body_rootid=S(mjm.body_rootid),
+      body_jntadr=S(mjm.body_jntadr),
+      body_jntnum=S(mjm.body_jntnum),
+      body_dofadr=S(mjm.body_dofadr),
+      body_dofnum=S(mjm.body_dofnum),
+      jnt_type=S(mjm.jnt_type),
+      jnt_qposadr=S(mjm.jnt_qposadr),
+      jnt_dofadr=S(mjm.jnt_dofadr),
+      jnt_bodyid=S(mjm.jnt_bodyid),
+      jnt_limited=S(mjm.jnt_limited),
+      jnt_actfrclimited=S(mjm.jnt_actfrclimited),
+      jnt_actfrcrange=S(mjm.jnt_actfrcrange),
+      dof_bodyid=S(mjm.dof_bodyid),
+      dof_jntid=S(mjm.dof_jntid),
+      geom_type=S(mjm.geom_type),
+      geom_bodyid=S(mjm.geom_bodyid),
+      geom_condim=S(mjm.geom_condim),
+      geom_priority=S(mjm.geom_priority),
+      geom_dataid=S(mjm.geom_dataid),
+      site_bodyid=S(mjm.site_bodyid),
+      eq_type=S(mjm.eq_type),
+      eq_obj1id=S(mjm.eq_obj1id),
+      eq_obj2id=S(mjm.eq_obj2id),
+      eq_active0=S(mjm.eq_active0),
+      actuator_trntype=S(mjm.actuator_trntype),
+      actuator_trnid=S(mjm.actuator_trnid),
+      actuator_gaintype=S(mjm.actuator_gaintype),
+      actuator_biastype=S(mjm.actuator_biastype),
+      actuator_dyntype=S(mjm.actuator_dyntype),
+      actuator_ctrllimited=S(mjm.actuator_ctrllimited),
+      actuator_forcelimited=S(mjm.actuator_forcelimited),
+      sensor_type=S(mjm.sensor_type),
+      sensor_objid=S(mjm.sensor_objid),
+      sensor_objtype=S(mjm.sensor_objtype),
+      sensor_adr=S(mjm.sensor_adr),
+      sensor_dim=S(mjm.sensor_dim),
+      anc_mask=anc_mask,
+      dof_anc=dof_anc,
+      hfield_nrow=S(mjm.hfield_nrow),
+      hfield_ncol=S(mjm.hfield_ncol),
+      hfield_size=S(mjm.hfield_size),
+      hfield_adr=S(mjm.hfield_adr),
+      pairs=pairs,
+      ncon=ncon,
+      names=names,
+  )
+  return m
+
+
+def name2id(m: Model, kind: str, name: str) -> int:
+  table = dict(dict(m.names)[kind])
+  return table[name]
+
+
+def load_model_from_xml(xml: str, dtype=jnp.float32):
+  """Compile MJCF string via C MuJoCo and convert. Returns (Model, MjModel)."""
+  mjm = mujoco.MjModel.from_xml_string(xml)
+  return put_model(mjm, dtype=dtype), mjm
+
+
+def load_model_from_path(path: str, dtype=jnp.float32):
+  mjm = mujoco.MjModel.from_xml_path(path)
+  return put_model(mjm, dtype=dtype), mjm

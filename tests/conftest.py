@@ -1,0 +1,25 @@
+"""Test config: run on CPU with 8 virtual devices so multi-chip sharding
+tests run anywhere (SURVEY §4: spoofed multi-device testing)."""
+
+import os
+
+# Force CPU: the ambient environment may point JAX at a remote TPU tunnel
+# (JAX_PLATFORMS=axon), which makes per-op dispatch and compiles orders of
+# magnitude slower — tests must run on local CPU devices.  A sitecustomize
+# module may import jax before this file runs, freezing the env-var config,
+# so update the live jax config as well.
+os.environ['JAX_PLATFORMS'] = 'cpu'
+_flags = os.environ.get('XLA_FLAGS', '')
+if 'host_platform_device_count' not in _flags:
+  os.environ['XLA_FLAGS'] = (
+      _flags + ' --xla_force_host_platform_device_count=8'
+  )
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update('jax_platforms', 'cpu')
+assert jax.default_backend() == 'cpu', jax.default_backend()

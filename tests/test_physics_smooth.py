@@ -1,0 +1,146 @@
+"""Smooth-dynamics parity vs C MuJoCo: FK, mass matrix, bias forces,
+contact-free trajectories.  C MuJoCo is the golden oracle (the reference
+depends on mujoco-mjx which matches C MuJoCo semantics)."""
+
+import mujoco
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rsr_mjx_tpu import physics
+
+jax.config.update('jax_enable_x64', True)
+
+
+PENDULUM = """
+<mujoco>
+  <option timestep="0.002" gravity="0 0 -9.81" integrator="Euler"/>
+  <worldbody>
+    <body name="pole" pos="0 0 2">
+      <joint name="hinge1" type="hinge" axis="0 1 0" damping="0.1"/>
+      <geom type="capsule" fromto="0 0 0 0 0 -0.6" size="0.04" mass="1.2"
+            contype="0" conaffinity="0"/>
+      <body name="pole2" pos="0 0 -0.6">
+        <joint name="hinge2" type="hinge" axis="1 0 0" damping="0.05"/>
+        <geom type="capsule" fromto="0 0 0 0.4 0 -0.4" size="0.03" mass="0.7"
+              contype="0" conaffinity="0"/>
+      </body>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+FREE_BODY = """
+<mujoco>
+  <option timestep="0.002" gravity="0 0 -9.81" integrator="Euler"/>
+  <worldbody>
+    <body name="brick" pos="0 0 1">
+      <freejoint/>
+      <geom type="box" size="0.1 0.05 0.02" mass="0.8"
+            contype="0" conaffinity="0"/>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+MIXED = """
+<mujoco>
+  <option timestep="0.002" gravity="0 0 -9.81" integrator="implicitfast"/>
+  <worldbody>
+    <body name="base" pos="0 0 1">
+      <joint name="slide" type="slide" axis="0 0 1" damping="2.0"
+             armature="0.02"/>
+      <geom type="sphere" size="0.05" mass="1.0" contype="0" conaffinity="0"/>
+      <body name="arm" pos="0.1 0 0">
+        <joint name="swing" type="hinge" axis="0 1 0" damping="0.3"
+               armature="0.01"/>
+        <geom type="capsule" fromto="0 0 0 0.3 0 0" size="0.02" mass="0.4"
+              contype="0" conaffinity="0"/>
+      </body>
+    </body>
+    <body name="tumbler" pos="1 0 2">
+      <freejoint/>
+      <geom type="box" size="0.1 0.04 0.02" mass="0.5"
+            contype="0" conaffinity="0"/>
+    </body>
+  </worldbody>
+  <actuator>
+    <position joint="swing" kp="30" kv="1.5" ctrlrange="-1 1"/>
+    <motor joint="slide" gear="2" ctrlrange="-5 5"/>
+  </actuator>
+</mujoco>
+"""
+
+
+def _setup(xml, qvel_scale=0.0, seed=0):
+  m, mjm = physics.load_model_from_xml(xml, dtype=jnp.float64)
+  mjd = mujoco.MjData(mjm)
+  rng = np.random.RandomState(seed)
+  mjd.qvel[:] = rng.uniform(-1, 1, mjm.nv) * qvel_scale
+  d = physics.make_data(m, dtype=jnp.float64)
+  d = d.replace(qvel=jnp.array(mjd.qvel))
+  return m, mjm, d, mjd
+
+
+@pytest.mark.parametrize('xml', [PENDULUM, FREE_BODY, MIXED],
+                         ids=['pendulum', 'free_body', 'mixed'])
+def test_fk_matches(xml):
+  m, mjm, d, mjd = _setup(xml, qvel_scale=0.5)
+  # randomize qpos a bit (keep quats normalized via C)
+  rng = np.random.RandomState(1)
+  mjd.qpos[:] = mjm.qpos0 + rng.uniform(-0.3, 0.3, mjm.nq)
+  mujoco.mj_normalizeQuat(mjm, mjd.qpos)
+  mujoco.mj_forward(mjm, mjd)
+  d = d.replace(qpos=jnp.array(mjd.qpos))
+  d = physics.forward(m, d)
+  np.testing.assert_allclose(np.asarray(d.xpos), mjd.xpos, atol=1e-9)
+  np.testing.assert_allclose(np.asarray(d.xipos), mjd.xipos, atol=1e-9)
+  np.testing.assert_allclose(
+      np.asarray(d.geom_xpos), mjd.geom_xpos, atol=1e-9
+  )
+  np.testing.assert_allclose(
+      np.asarray(d.subtree_com[0]), mjd.subtree_com[0], atol=1e-9
+  )
+
+
+@pytest.mark.parametrize('xml', [PENDULUM, FREE_BODY, MIXED],
+                         ids=['pendulum', 'free_body', 'mixed'])
+def test_mass_matrix_and_bias(xml):
+  m, mjm, d, mjd = _setup(xml, qvel_scale=1.0, seed=3)
+  rng = np.random.RandomState(4)
+  mjd.qpos[:] = mjm.qpos0 + rng.uniform(-0.4, 0.4, mjm.nq)
+  mujoco.mj_normalizeQuat(mjm, mjd.qpos)
+  mujoco.mj_forward(mjm, mjd)
+  M_ref = np.zeros((mjm.nv, mjm.nv))
+  mujoco.mj_fullM(mjm, mjd, M_ref)
+
+  d = d.replace(qpos=jnp.array(mjd.qpos), qvel=jnp.array(mjd.qvel))
+  d = physics.forward(m, d)
+  np.testing.assert_allclose(np.asarray(d.qM), M_ref, atol=1e-8)
+  np.testing.assert_allclose(
+      np.asarray(d.qfrc_bias), mjd.qfrc_bias, atol=1e-8
+  )
+
+
+@pytest.mark.parametrize('xml,steps', [(PENDULUM, 200), (FREE_BODY, 100),
+                                       (MIXED, 200)],
+                         ids=['pendulum', 'free_body', 'mixed'])
+def test_trajectory_matches(xml, steps):
+  """Contact-free rollout parity, including actuators and implicit damping."""
+  m, mjm, d, mjd = _setup(xml, qvel_scale=0.8, seed=7)
+  rng = np.random.RandomState(8)
+  ctrl = rng.uniform(-0.5, 0.5, mjm.nu)
+  mjd.ctrl[:] = ctrl
+  d = d.replace(ctrl=jnp.array(ctrl), qvel=jnp.array(mjd.qvel))
+
+  step = jax.jit(physics.step)
+  for i in range(steps):
+    mujoco.mj_step(mjm, mjd)
+    d = step(m, d)
+  # Tolerance note: per-step agreement is ~1e-9; over hundreds of steps of
+  # chaotic dynamics tiny solver-rounding differences (ours vs MuJoCo's
+  # sparse LDL) compound linearly to ~1e-5.  Semantic errors blow past this
+  # within a few steps.
+  np.testing.assert_allclose(np.asarray(d.qpos), mjd.qpos, atol=5e-5)
+  np.testing.assert_allclose(np.asarray(d.qvel), mjd.qvel, atol=5e-5)
