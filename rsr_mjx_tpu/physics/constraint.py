@@ -234,25 +234,39 @@ def _assemble(m: Model, d: Data) -> Efc:
     floss_rows.append(m.dof_frictionloss[v])
     margin_rows.append(zero)
 
-  # ---- joint limits (two one-sided rows per limited joint)
-  for j in range(m.njnt):
-    if not m.jnt_limited[j]:
-      continue
-    jt = int(m.jnt_type[j])
-    if jt not in (JointType.HINGE, JointType.SLIDE):
-      raise NotImplementedError('ball/free limits')
-    qadr, vadr = int(m.jnt_qposadr[j]), int(m.jnt_dofadr[j])
-    lo, hi = m.jnt_range[j][0], m.jnt_range[j][1]
-    for sign, bound in ((1.0, lo), (-1.0, hi)):
-      J_rows.append(eye[vadr] * sign)
-      pos_rows.append(sign * (d.qpos[qadr] - bound))
-      solref_rows.append(m.jnt_solref[j])
-      solimp_rows.append(m.jnt_solimp[j])
-      diagA_rows.append(m.dof_invweight0[vadr])
-      floss_rows.append(zero)
-      margin_rows.append(m.jnt_margin[j])
+  J_parts = [jnp.stack(J_rows)] if J_rows else []
+  pos_parts = [jnp.stack(pos_rows)] if pos_rows else []
+  solref_parts = [jnp.stack(solref_rows)] if solref_rows else []
+  solimp_parts = [jnp.stack(solimp_rows)] if solimp_rows else []
+  diagA_parts = [jnp.stack(diagA_rows)] if diagA_rows else []
+  floss_parts = [jnp.stack(floss_rows)] if floss_rows else []
+  margin_parts = [jnp.stack(margin_rows)] if margin_rows else []
 
-  # ---- contacts (pyramidal cones)
+  # ---- joint limits (two one-sided rows per limited joint), vectorized
+  lim_j = np.nonzero(m.jnt_limited.arr != 0)[0]
+  if len(lim_j):
+    for jt in m.jnt_type.arr[lim_j]:
+      if int(jt) not in (JointType.HINGE, JointType.SLIDE):
+        raise NotImplementedError('ball/free limits')
+    qadr = m.jnt_qposadr.arr[lim_j]
+    vadr = m.jnt_dofadr.arr[lim_j]
+    lo = m.jnt_range[lim_j, 0]
+    hi = m.jnt_range[lim_j, 1]
+    q = d.qpos[qadr]
+    # rows interleaved (lo, hi) per joint
+    sign = jnp.tile(jnp.array([1.0, -1.0], dtype=dtype), len(lim_j))
+    rows = jnp.repeat(eye[vadr], 2, axis=0) * sign[:, None]
+    bound = jnp.stack([lo, hi], axis=-1).reshape(-1)
+    posl = sign * (jnp.repeat(q, 2) - bound)
+    J_parts.append(rows)
+    pos_parts.append(posl)
+    solref_parts.append(jnp.repeat(m.jnt_solref[lim_j], 2, axis=0))
+    solimp_parts.append(jnp.repeat(m.jnt_solimp[lim_j], 2, axis=0))
+    diagA_parts.append(jnp.repeat(m.dof_invweight0[vadr], 2))
+    floss_parts.append(jnp.zeros(2 * len(lim_j), dtype=dtype))
+    margin_parts.append(jnp.repeat(m.jnt_margin[lim_j], 2))
+
+  # ---- contacts (pyramidal cones), fully vectorized per condim group
   if m.ncon:
     con = d.contact
     g1 = con.geom1.arr
@@ -266,77 +280,71 @@ def _assemble(m: Model, d: Data) -> Efc:
     jac_t = lin[None] + jnp.cross(
         jnp.broadcast_to(ang[None], rel.shape), rel
     )
-    mask1 = jnp.asarray(m.anc_mask.arr[b1], dtype=dtype)[:, :, None]
-    mask2 = jnp.asarray(m.anc_mask.arr[b2], dtype=dtype)[:, :, None]
-    jac_p = jac_t * mask2 - jac_t * mask1  # relative: body2 − body1
-    jac_r = ang[None] * mask2 - ang[None] * mask1
+    dmask = jnp.asarray(m.anc_mask.arr[b2] - m.anc_mask.arr[b1], dtype=dtype)
+    jac_p = jac_t * dmask[:, :, None]  # relative: body2 − body1
+    jac_r = ang[None] * dmask[:, :, None]
 
-    inv1 = m.body_invweight0[b1][:, 0]
-    inv2 = m.body_invweight0[b2][:, 0]
-    invweight = inv1 + inv2
+    invweight = m.body_invweight0[b1][:, 0] + m.body_invweight0[b2][:, 0]
 
-    for c in range(m.ncon):
-      cd = int(con.condim[c])
-      n = con.frame[c, 0]
-      Jn = jac_p[c] @ n  # (nv,)
-      pos_c = con.dist[c]
-      margin_c = zero  # margins folded into dist upstream (geom_margin=0)
+    n = con.frame[:, 0]
+    Jn = jnp.einsum('cvk,ck->cv', jac_p, n)
+    condim_arr = con.condim.arr
+    for cd in sorted(set(int(x) for x in condim_arr)):
+      sel = np.nonzero(condim_arr == cd)[0]
+      k = len(sel)
       if cd == 1:
-        J_rows.append(Jn)
-        pos_rows.append(pos_c)
-        solref_rows.append(con.solref[c])
-        solimp_rows.append(con.solimp[c])
-        diagA_rows.append(invweight[c])
-        floss_rows.append(zero)
-        margin_rows.append(margin_c)
-      else:
-        # pyramidal: for each friction axis i: rows Jn ± mu_i J_i
-        axes = []
-        mus = []
-        for i in range(cd - 1):
-          if i < 2:
-            t = con.frame[c, 1 + i]
-            axes.append(jac_p[c] @ t)
-          elif i == 2:
-            axes.append(jac_r[c] @ n)  # torsional
-          else:
-            t = con.frame[c, 1 + (i - 3)]
-            axes.append(jac_r[c] @ t)  # rolling
-          mus.append(con.friction[c, i])
-        mu0 = con.friction[c, 0]
-        for i in range(cd - 1):
-          for sgn in (1.0, -1.0):
-            J_rows.append(Jn + sgn * mus[i] * axes[i])
-            pos_rows.append(pos_c)
-            solref_rows.append(con.solref[c])
-            solimp_rows.append(con.solimp[c])
-            # MuJoCo pyramid diagApprox ≈ invweight * 2 μ0² / impratio
-            diagA_rows.append(
-                invweight[c]
-                * 2.0
-                * jnp.maximum(mu0 * mu0, _MJ_MINVAL)
-                / m.opt.impratio
-            )
-            floss_rows.append(zero)
-            margin_rows.append(margin_c)
+        J_parts.append(Jn[sel])
+        pos_parts.append(con.dist[sel])
+        solref_parts.append(con.solref[sel])
+        solimp_parts.append(con.solimp[sel])
+        diagA_parts.append(invweight[sel])
+        floss_parts.append(jnp.zeros(k, dtype=dtype))
+        margin_parts.append(jnp.zeros(k, dtype=dtype))
+        continue
+      # friction axes: t1, t2, torsion, roll1, roll2 (first cd−1 used)
+      axes = [
+          jnp.einsum('cvk,ck->cv', jac_p[sel], con.frame[sel, 1]),
+          jnp.einsum('cvk,ck->cv', jac_p[sel], con.frame[sel, 2]),
+          jnp.einsum('cvk,ck->cv', jac_r[sel], n[sel]),
+          jnp.einsum('cvk,ck->cv', jac_r[sel], con.frame[sel, 1]),
+          jnp.einsum('cvk,ck->cv', jac_r[sel], con.frame[sel, 2]),
+      ]
+      nf = cd - 1
+      axes = jnp.stack(axes[:nf], axis=1)  # (k, nf, nv)
+      mus = con.friction[sel, :nf]  # (k, nf)
+      # rows: Jn ± mu_i * axis_i  → (k, nf, 2, nv) → (k·nf·2, nv)
+      pm = jnp.array([1.0, -1.0], dtype=dtype)
+      rows = (
+          Jn[sel][:, None, None, :]
+          + pm[None, None, :, None] * (mus[..., None] * axes)[:, :, None, :]
+      ).reshape(k * nf * 2, nv)
+      nrep = nf * 2
+      mu0 = con.friction[sel, 0]
+      diagA_c = jnp.repeat(
+          invweight[sel]
+          * 2.0
+          * jnp.maximum(mu0 * mu0, _MJ_MINVAL)
+          / m.opt.impratio,
+          nrep,
+      )
+      J_parts.append(rows)
+      pos_parts.append(jnp.repeat(con.dist[sel], nrep))
+      solref_parts.append(jnp.repeat(con.solref[sel], nrep, axis=0))
+      solimp_parts.append(jnp.repeat(con.solimp[sel], nrep, axis=0))
+      diagA_parts.append(diagA_c)
+      floss_parts.append(jnp.zeros(k * nrep, dtype=dtype))
+      margin_parts.append(jnp.zeros(k * nrep, dtype=dtype))
 
-  J = jnp.stack(J_rows) if J_rows else jnp.zeros((0, nv), dtype=dtype)
-  pos = jnp.stack(pos_rows) if pos_rows else jnp.zeros((0,), dtype=dtype)
-  solref = (
-      jnp.stack(solref_rows) if solref_rows else jnp.zeros((0, 2), dtype=dtype)
+  cat = lambda parts, empty: (
+      jnp.concatenate(parts) if parts else jnp.zeros(empty, dtype=dtype)
   )
-  solimp = (
-      jnp.stack(solimp_rows) if solimp_rows else jnp.zeros((0, 5), dtype=dtype)
-  )
-  diagA = (
-      jnp.stack(diagA_rows) if diagA_rows else jnp.zeros((0,), dtype=dtype)
-  )
-  floss = (
-      jnp.stack(floss_rows) if floss_rows else jnp.zeros((0,), dtype=dtype)
-  )
-  margin = (
-      jnp.stack(margin_rows) if margin_rows else jnp.zeros((0,), dtype=dtype)
-  )
+  J = cat(J_parts, (0, nv))
+  pos = cat(pos_parts, (0,))
+  solref = cat(solref_parts, (0, 2))
+  solimp = cat(solimp_parts, (0, 5))
+  diagA = cat(diagA_parts, (0,))
+  floss = cat(floss_parts, (0,))
+  margin = cat(margin_parts, (0,))
 
   kind = lay.kind
   assert J.shape[0] == lay.nefc, (J.shape, lay)

@@ -1,0 +1,135 @@
+"""Contact behavior tests vs C MuJoCo.
+
+The constraint solvers differ in iteration details, so contact assertions
+are behavioral (penetration bounds, resting stability, friction sticking,
+stopping distance) plus loose short-horizon trajectory parity — enough to
+catch semantic errors in the soft-constraint model (impedance, aref,
+pyramidal cones) while tolerating solver-level numeric differences.
+"""
+
+import mujoco
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rsr_mjx_tpu import physics
+
+jax.config.update('jax_enable_x64', True)
+
+
+BOX_ON_PLANE = """
+<mujoco>
+  <option timestep="0.002" integrator="Euler"/>
+  <worldbody>
+    <geom name="floor" type="plane" size="2 2 0.1" friction="1 0.005 0.0001"/>
+    <body name="cube" pos="0 0 {z0}">
+      <freejoint/>
+      <geom type="box" size="0.04 0.04 0.04" mass="0.5" condim="{condim}"
+            friction="{mu} 0.1 0.1" solimp="0.8 1 0.01" solref="0.01 1"/>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+BOX_ON_TABLE = """
+<mujoco>
+  <option timestep="0.0025" integrator="implicitfast"/>
+  <worldbody>
+    <body name="table" pos="0 0 0.5">
+      <geom name="top" type="box" size="0.8 0.3 0.01" friction="0.5 0.005 0.0001"/>
+    </body>
+    <body name="cube" pos="0 0 {z0}">
+      <freejoint/>
+      <geom type="box" size="0.04 0.04 0.04" mass="0.5" condim="4"
+            friction="1 0.1 0.1" solimp="0.8 1 0.01" solref="0.01 1"/>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+
+def _rollout(xml, steps, qvel0=None):
+  m, mjm = physics.load_model_from_xml(xml, dtype=jnp.float64)
+  mjd = mujoco.MjData(mjm)
+  if qvel0 is not None:
+    mjd.qvel[:] = qvel0
+  d = physics.make_data(m, dtype=jnp.float64)
+  d = d.replace(qvel=jnp.array(mjd.qvel))
+  step = jax.jit(physics.step)
+  ours, ref = [], []
+  for _ in range(steps):
+    mujoco.mj_step(mjm, mjd)
+    d = step(m, d)
+    ours.append(np.asarray(d.qpos).copy())
+    ref.append(mjd.qpos.copy())
+  return np.stack(ours), np.stack(ref)
+
+
+def test_box_settles_on_plane():
+  """Dropped cube comes to rest at ~half-size height without blowup."""
+  xml = BOX_ON_PLANE.format(z0=0.1, condim=3, mu=1.0)
+  ours, ref = _rollout(xml, 500)
+  z = ours[-1, 2]
+  assert abs(z - 0.04) < 5e-3, z
+  # settled: negligible motion over the last 50 steps
+  drift = np.abs(ours[-1] - ours[-50]).max()
+  assert drift < 1e-3, drift
+  # reference lands in the same place
+  assert abs(ref[-1, 2] - z) < 5e-3
+
+
+def test_sliding_cube_stopping_distance():
+  """Kicked cube slides and friction stops it near where MuJoCo stops."""
+  xml = BOX_ON_PLANE.format(z0=0.0401, condim=4, mu=0.4)
+  v0 = np.zeros(6)
+  v0[0] = 1.5  # 1.5 m/s kick in +x
+  ours, ref = _rollout(xml, 800, qvel0=v0)
+  # both must stop (friction dissipates the kick)
+  assert np.abs(ours[-1, 0] - ours[-40, 0]) < 1e-3
+  assert np.abs(ref[-1, 0] - ref[-40, 0]) < 1e-3
+  # stopping distance within 15% of reference
+  assert abs(ours[-1, 0] - ref[-1, 0]) < 0.15 * abs(ref[-1, 0]) + 0.01, (
+      ours[-1, 0],
+      ref[-1, 0],
+  )
+
+
+def test_high_friction_sticks():
+  """Small kick with high friction: cube barely moves (static friction)."""
+  xml = BOX_ON_PLANE.format(z0=0.0401, condim=4, mu=1.0)
+  v0 = np.zeros(6)
+  v0[0] = 0.1
+  ours, _ = _rollout(xml, 300, qvel0=v0)
+  assert abs(ours[-1, 0]) < 0.01, ours[-1, 0]
+
+
+def test_box_on_table_parity():
+  """Cube dropped on the table-top box (the cube-push resting scenario):
+  short-horizon parity with C MuJoCo."""
+  xml = BOX_ON_TABLE.format(z0=0.58)
+  ours, ref = _rollout(xml, 400)
+  # position parity within 5 mm over a 1 s contact-rich rollout
+  assert np.abs(ours[-1, :3] - ref[-1, :3]).max() < 5e-3, (
+      ours[-1, :3],
+      ref[-1, :3],
+  )
+  # resting height on top of the table: 0.51 + 0.04
+  assert abs(ours[-1, 2] - 0.55) < 5e-3
+
+
+def test_contact_forces_exposed():
+  """efc_force / contact set is populated for a penetrating contact."""
+  xml = BOX_ON_PLANE.format(z0=0.0401, condim=4, mu=1.0)
+  m, mjm = physics.load_model_from_xml(xml, dtype=jnp.float64)
+  d = physics.make_data(m, dtype=jnp.float64)
+  d = physics.forward(m, d)
+  assert m.ncon == 4  # plane-box emits 4 slots
+  # at z=0.0401 the box hovers 1e-4 above: dist small positive
+  assert np.asarray(d.contact.dist).min() < 2e-4
+  # normal force supports the weight once settled
+  step = jax.jit(physics.step)
+  for _ in range(200):
+    d = step(m, d)
+  total_normal = float(np.asarray(d.efc_force).sum())
+  assert total_normal > 0.0
