@@ -166,6 +166,62 @@ class SelectObservationWrapper(Wrapper):
     return self.env.observation_size[self._key][-1]
 
 
+class EvalMetrics:
+  """Episode-accumulated metrics pytree (brax EvalMetrics semantics)."""
+
+  def __init__(self, episode_metrics, active_episodes, episode_steps):
+    self.episode_metrics = episode_metrics
+    self.active_episodes = active_episodes
+    self.episode_steps = episode_steps
+
+
+jax.tree_util.register_pytree_node(
+    EvalMetrics,
+    lambda m: (
+        (m.episode_metrics, m.active_episodes, m.episode_steps),
+        None,
+    ),
+    lambda _, c: EvalMetrics(*c),
+)
+
+
+class EvalWrapper(Wrapper):
+  """Accumulates per-episode reward/metrics for the Evaluator
+  (brax training wrappers semantics)."""
+
+  def reset(self, rng: jax.Array) -> State:
+    reset_state = self.env.reset(rng)
+    reset_state.metrics['reward'] = reset_state.reward
+    eval_metrics = EvalMetrics(
+        episode_metrics=jax.tree.map(jnp.zeros_like, reset_state.metrics),
+        active_episodes=jnp.ones_like(reset_state.reward),
+        episode_steps=jnp.zeros_like(reset_state.reward),
+    )
+    reset_state.info['eval_metrics'] = eval_metrics
+    return reset_state
+
+  def step(self, state: State, action: jax.Array) -> State:
+    state_metrics = state.info['eval_metrics']
+    del state.info['eval_metrics']
+    nstate = self.env.step(state, action)
+    nstate.metrics['reward'] = nstate.reward
+    episode_steps = jnp.where(
+        state_metrics.active_episodes,
+        nstate.info['steps'],
+        state_metrics.episode_steps,
+    )
+    episode_metrics = jax.tree.map(
+        lambda a, b: a + b * state_metrics.active_episodes,
+        state_metrics.episode_metrics,
+        nstate.metrics,
+    )
+    active_episodes = state_metrics.active_episodes * (1 - nstate.done)
+    nstate.info['eval_metrics'] = EvalMetrics(
+        episode_metrics, active_episodes, episode_steps
+    )
+    return nstate
+
+
 def wrap_for_training(
     env: Env,
     episode_length: int = 1000,

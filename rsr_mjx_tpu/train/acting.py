@@ -1,0 +1,116 @@
+"""Rollout generation and evaluation.
+
+Native equivalents of brax.training.acting used by the reference trainer
+(RSR/train.py:310-324 rollout scan, :441-456 Evaluator).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rsr_mjx_tpu.envs.core import Env, State
+from rsr_mjx_tpu.train.losses import Transition
+
+Policy = Callable[[jax.Array, jax.Array], Tuple[jax.Array, dict]]
+
+
+def actor_step(
+    env: Env,
+    env_state: State,
+    policy: Policy,
+    key: jax.Array,
+    extra_fields: Sequence[str] = (),
+) -> Tuple[State, Transition]:
+  """One policy step in a (batched) env."""
+  actions, policy_extras = policy(env_state.obs, key)
+  nstate = env.step(env_state, actions)
+  state_extras = {x: nstate.info[x] for x in extra_fields}
+  return nstate, Transition(
+      observation=env_state.obs,
+      action=actions,
+      reward=nstate.reward,
+      discount=1 - nstate.done,
+      next_observation=nstate.obs,
+      extras={'policy_extras': policy_extras, 'state_extras': state_extras},
+  )
+
+
+def generate_unroll(
+    env: Env,
+    env_state: State,
+    policy: Policy,
+    key: jax.Array,
+    unroll_length: int,
+    extra_fields: Sequence[str] = (),
+) -> Tuple[State, Transition]:
+  """Rollout of ``unroll_length`` steps; transitions stacked time-major."""
+
+  def f(carry, _):
+    state, current_key = carry
+    current_key, next_key = jax.random.split(current_key)
+    nstate, transition = actor_step(
+        env, state, policy, current_key, extra_fields=extra_fields
+    )
+    return (nstate, next_key), transition
+
+  (final_state, _), data = jax.lax.scan(
+      f, (env_state, key), (), length=unroll_length
+  )
+  return final_state, data
+
+
+class Evaluator:
+  """Periodic policy evaluation (brax acting.Evaluator semantics)."""
+
+  def __init__(
+      self,
+      eval_env: Env,
+      eval_policy_fn: Callable[..., Policy],
+      num_eval_envs: int,
+      episode_length: int,
+      action_repeat: int,
+      key: jax.Array,
+  ):
+    self._key = key
+    self._eval_walltime = 0.0
+    self._steps_per_unroll = episode_length * num_eval_envs
+
+    def generate_eval_unroll(params, key: jax.Array) -> State:
+      reset_keys = jax.random.split(key, num_eval_envs)
+      eval_first_state = eval_env.reset(reset_keys)
+      state, _ = generate_unroll(
+          eval_env,
+          eval_first_state,
+          eval_policy_fn(params),
+          key,
+          unroll_length=episode_length // action_repeat,
+      )
+      return state
+
+    self._generate_eval_unroll = jax.jit(generate_eval_unroll)
+
+  def run_evaluation(self, params, training_metrics, aggregate_episodes=True):
+    t = time.time()
+    self._key, unroll_key = jax.random.split(self._key)
+    eval_state = self._generate_eval_unroll(params, unroll_key)
+    eval_metrics_info = eval_state.info['eval_metrics']
+    epi_rewards = eval_metrics_info.episode_metrics['reward']
+    epi_lengths = eval_metrics_info.episode_steps
+    jax.block_until_ready(epi_rewards)
+    epoch_eval_time = time.time() - t
+    self._eval_walltime += epoch_eval_time
+    metrics = {
+        'eval/episode_reward': float(np.mean(np.asarray(epi_rewards))),
+        'eval/episode_reward_std': float(np.std(np.asarray(epi_rewards))),
+        'eval/avg_episode_length': float(np.mean(np.asarray(epi_lengths))),
+        'eval/epoch_eval_time': epoch_eval_time,
+        'eval/sps': self._steps_per_unroll / epoch_eval_time,
+        'eval/walltime': self._eval_walltime,
+        **training_metrics,
+    }
+    return metrics

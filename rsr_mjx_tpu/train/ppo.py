@@ -1,0 +1,433 @@
+"""On-device PPO trainer, TPU-native.
+
+Role-equivalent to the reference's vendored brax PPO trainer
+(RSR/train.py:76-503) with the same loop math — rollout scan → normalizer
+update → minibatched clipped-surrogate SGD, RSR penalty threaded through —
+but built for a JAX device mesh: the training epoch runs under
+``shard_map`` over an explicit ``Mesh(('data',))`` with gradients and
+normalizer statistics reduced by ``jax.lax.pmean``/``psum`` over the mesh
+axis (replacing pmap + 'i', RSR/train.py:51, :361).  Multi-host: the same
+program runs per process with ``jax.distributed.initialize``; the mesh
+spans all devices and collectives ride ICI.
+
+The RSR loss is a first-class argument (``past_data``/``rsr_loss_scale``),
+not a module swap (contrast sac_train.py:104-123).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rsr_mjx_tpu.envs import wrappers
+from rsr_mjx_tpu.envs.core import Env, State
+from rsr_mjx_tpu.train import acting
+from rsr_mjx_tpu.train import checkpoint as _checkpoint
+from rsr_mjx_tpu.train import losses as ppo_losses
+from rsr_mjx_tpu.train import networks as ppo_networks
+from rsr_mjx_tpu.train import running_statistics
+
+_MESH_AXIS = 'data'
+
+
+@struct.dataclass
+class TrainingState:
+  optimizer_state: optax.OptState
+  params: Any  # {'policy': ..., 'value': ...}
+  normalizer_params: running_statistics.RunningStatisticsState
+  env_steps: jax.Array
+
+
+def _strip_weak(tree):
+  return jax.tree.map(lambda x: jnp.asarray(x), tree)
+
+
+def train(
+    environment: Env,
+    num_timesteps: int,
+    episode_length: int,
+    action_repeat: int = 1,
+    num_envs: int = 1,
+    num_eval_envs: int = 128,
+    learning_rate: float = 1e-4,
+    entropy_cost: float = 1e-4,
+    discounting: float = 0.9,
+    seed: int = 0,
+    unroll_length: int = 10,
+    batch_size: int = 32,
+    num_minibatches: int = 16,
+    num_updates_per_batch: int = 2,
+    num_evals: int = 1,
+    normalize_observations: bool = False,
+    reward_scaling: float = 1.0,
+    clipping_epsilon: float = 0.3,
+    gae_lambda: float = 0.95,
+    deterministic_eval: bool = False,
+    network_factory: Callable[..., ppo_networks.PPONetworks] = (
+        ppo_networks.make_ppo_networks
+    ),
+    progress_fn: Callable[[int, dict], None] = lambda *args: None,
+    policy_params_fn: Callable[..., None] = lambda *args: None,
+    normalize_advantage: bool = True,
+    eval_env: Optional[Env] = None,
+    restore_checkpoint_path: Optional[str] = None,
+    randomization_fn: Optional[Callable] = None,
+    past_data: Any = None,
+    rsr_loss_scale: float = 1.0,
+    devices: Optional[list] = None,
+):
+  """Train a PPO policy.  Returns (make_policy, (normalizer, params), metrics).
+
+  Argument surface mirrors RSR/train.py:76-113 so reference call sites
+  translate directly.
+  """
+  assert batch_size * num_minibatches % num_envs == 0, (
+      batch_size, num_minibatches, num_envs
+  )
+  xt = time.time()
+
+  devices = devices or jax.devices()
+  num_devices = len(devices)
+  process_count = jax.process_count()
+  process_id = jax.process_index()
+  assert num_envs % (num_devices * process_count) == 0
+  mesh = Mesh(np.array(devices), (_MESH_AXIS,))
+
+  # loop math (RSR/train.py:150-168)
+  env_step_per_training_step = (
+      batch_size * unroll_length * num_minibatches * action_repeat
+  )
+  num_evals_after_init = max(num_evals - 1, 1)
+  num_training_steps_per_epoch = int(
+      np.ceil(
+          num_timesteps
+          / (num_evals_after_init * env_step_per_training_step)
+      )
+  )
+
+  key = jax.random.PRNGKey(seed)
+  global_key, local_key = jax.random.split(key)
+  local_key = jax.random.fold_in(local_key, process_id)
+  local_key, key_env, eval_key = jax.random.split(local_key, 3)
+  key_policy, key_value = jax.random.split(global_key)
+  del global_key
+
+  num_envs_per_device = num_envs // (num_devices * process_count)
+
+  # ----- env wrap (RSR/train.py:219-229)
+  wrap_rando = None
+  if randomization_fn is not None:
+    # identical randomized-model batches on every device (reference
+    # replicated-RNG pattern, RSR/train.py:210-217)
+    rando_key, key_env = jax.random.split(key_env)
+    wrap_rando = functools.partial(
+        randomization_fn,
+        rng=jax.random.split(rando_key, num_envs_per_device),
+    )
+  env = wrappers.wrap_for_training(
+      environment,
+      episode_length=episode_length,
+      action_repeat=action_repeat,
+      randomization_fn=wrap_rando,
+  )
+
+  obs_size = environment.observation_size
+  action_size = environment.action_size
+  if not isinstance(obs_size, int):
+    raise NotImplementedError('dict observations: use SelectObservation')
+
+  network = network_factory(obs_size, action_size)
+  if normalize_observations:
+    normalize_fn = running_statistics.normalize
+  else:
+    normalize_fn = lambda state, obs: obs
+  make_policy = _make_policy_factory(network, normalize_fn)
+
+  optimizer = optax.adam(learning_rate=learning_rate)
+
+  init_params = {
+      'policy': network.policy.init(key_policy, obs_size),
+      'value': network.value.init(key_value, obs_size),
+  }
+  training_state = TrainingState(
+      optimizer_state=optimizer.init(init_params),
+      params=init_params,
+      normalizer_params=running_statistics.init_state(obs_size),
+      env_steps=jnp.zeros((), dtype=jnp.int64 if jax.config.jax_enable_x64
+                          else jnp.int32),
+  )
+
+  if restore_checkpoint_path is not None:
+    normalizer_params, params = _checkpoint.restore(
+        restore_checkpoint_path,
+        (training_state.normalizer_params, training_state.params),
+    )
+    training_state = training_state.replace(
+        normalizer_params=normalizer_params, params=params
+    )
+
+  if num_timesteps == 0:
+    # restore-only path (reference inference trick, RSR/train.py:403-408)
+    return (
+        make_policy,
+        (training_state.normalizer_params, training_state.params),
+        {},
+    )
+
+  loss_fn = functools.partial(
+      ppo_losses.compute_ppo_loss,
+      ppo_network=network,
+      past_data=past_data,
+      entropy_cost=entropy_cost,
+      discounting=discounting,
+      reward_scaling=reward_scaling,
+      gae_lambda=gae_lambda,
+      clipping_epsilon=clipping_epsilon,
+      normalize_advantage=normalize_advantage,
+      rsr_loss_scale=rsr_loss_scale,
+  )
+
+  def policy_for_rollout(params_tuple):
+    normalizer_params, params = params_tuple
+    def policy(obs, rng):
+      obs_n = (
+          running_statistics.normalize(normalizer_params, obs)
+          if normalize_observations
+          else obs
+      )
+      logits = network.policy_logits(params, obs_n)
+      raw = network.distribution.sample_no_postprocess(logits, rng)
+      log_prob = network.distribution.log_prob(logits, raw)
+      actions = network.distribution.postprocess(raw)
+      return actions, {'log_prob': log_prob, 'raw_action': raw}
+    return policy
+
+  # ----- SGD machinery (RSR/train.py:264-299)
+
+  def minibatch_step(carry, data, normalizer_params):
+    optimizer_state, params, key = carry
+    key, key_loss = jax.random.split(key)
+    (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, normalizer_params, data, key_loss
+    )
+    grads = jax.lax.pmean(grads, axis_name=_MESH_AXIS)
+    params_update, optimizer_state = optimizer.update(
+        grads, optimizer_state, params
+    )
+    params = optax.apply_updates(params, params_update)
+    return (optimizer_state, params, key), metrics
+
+  def sgd_step(carry, unused_t, data, normalizer_params):
+    optimizer_state, params, key = carry
+    key, key_perm, key_grad = jax.random.split(key, 3)
+
+    def convert_data(x):
+      x = jax.random.permutation(key_perm, x)
+      x = jnp.reshape(x, (num_minibatches, -1) + x.shape[1:])
+      return x
+
+    shuffled_data = jax.tree.map(convert_data, data)
+    (optimizer_state, params, _), metrics = jax.lax.scan(
+        functools.partial(minibatch_step, normalizer_params=normalizer_params),
+        (optimizer_state, params, key_grad),
+        shuffled_data,
+        length=num_minibatches,
+    )
+    return (optimizer_state, params, key), metrics
+
+  def training_step(carry, unused_t):
+    training_state, state, key = carry
+    key_sgd, key_generate_unroll, new_key = jax.random.split(key, 3)
+
+    policy = policy_for_rollout(
+        (training_state.normalizer_params, training_state.params)
+    )
+
+    def roll(carry, unused_t):
+      current_state, current_key = carry
+      current_key, next_key = jax.random.split(current_key)
+      next_state, data = acting.generate_unroll(
+          env,
+          current_state,
+          policy,
+          current_key,
+          unroll_length,
+          extra_fields=('truncation',),
+      )
+      return (next_state, next_key), data
+
+    (state, _), data = jax.lax.scan(
+        roll,
+        (state, key_generate_unroll),
+        (),
+        length=batch_size * num_minibatches // num_envs,
+    )
+    # (iters, T, B_local, ...) → (iters·B_local, T, ...)
+    data = jax.tree.map(lambda x: jnp.swapaxes(x, 1, 2), data)
+    data = jax.tree.map(
+        lambda x: jnp.reshape(x, (-1,) + x.shape[2:]), data
+    )
+
+    normalizer_params = training_state.normalizer_params
+    if normalize_observations:
+      normalizer_params = running_statistics.update(
+          normalizer_params,
+          data.observation,
+          pmap_axis_name=_MESH_AXIS,
+      )
+
+    (optimizer_state, params, _), metrics = jax.lax.scan(
+        functools.partial(
+            sgd_step, data=data, normalizer_params=normalizer_params
+        ),
+        (training_state.optimizer_state, training_state.params, key_sgd),
+        (),
+        length=num_updates_per_batch,
+    )
+
+    new_training_state = TrainingState(
+        optimizer_state=optimizer_state,
+        params=params,
+        normalizer_params=normalizer_params,
+        env_steps=training_state.env_steps + env_step_per_training_step,
+    )
+    return (new_training_state, state, new_key), metrics
+
+  def _epoch_body(training_state, state, key):
+    key = key.reshape(2)
+    (training_state, state, _), loss_metrics = jax.lax.scan(
+        training_step,
+        (training_state, state, key),
+        (),
+        length=num_training_steps_per_epoch,
+    )
+    loss_metrics = jax.tree.map(jnp.mean, loss_metrics)
+    loss_metrics = jax.lax.pmean(loss_metrics, axis_name=_MESH_AXIS)
+    return training_state, state, loss_metrics
+
+  state_spec = P(_MESH_AXIS)
+  training_epoch = jax.jit(
+      shard_map(
+          _epoch_body,
+          mesh=mesh,
+          in_specs=(P(), state_spec, P(_MESH_AXIS)),
+          out_specs=(P(), state_spec, P()),
+          check_vma=False,
+      )
+  )
+
+  # ----- env reset, sharded over the mesh (RSR/train.py:231-235)
+  # reset runs inside shard_map so each device block sees exactly
+  # num_envs_per_device rows (required by the per-device DR model batch)
+  key_envs = jax.random.split(key_env, num_envs // process_count)
+  reset_fn = jax.jit(
+      shard_map(
+          env.reset,
+          mesh=mesh,
+          in_specs=P(_MESH_AXIS),
+          out_specs=P(_MESH_AXIS),
+          check_vma=False,
+      )
+  )
+  env_state = reset_fn(key_envs)
+  training_state = jax.device_put(
+      _strip_weak(training_state), NamedSharding(mesh, P())
+  )
+
+  # ----- evaluator (RSR/train.py:441-456)
+  if eval_env is None:
+    eval_env_base = environment
+  else:
+    eval_env_base = eval_env
+  eval_wrapped = wrappers.wrap_for_training(
+      eval_env_base,
+      episode_length=episode_length,
+      action_repeat=action_repeat,
+  )
+  eval_wrapped = wrappers.EvalWrapper(eval_wrapped)
+
+  evaluator = acting.Evaluator(
+      eval_wrapped,
+      functools.partial(make_policy, deterministic=deterministic_eval),
+      num_eval_envs=num_eval_envs,
+      episode_length=episode_length,
+      action_repeat=action_repeat,
+      key=eval_key,
+  )
+
+  metrics = {}
+  training_walltime = 0.0
+  current_step = 0
+
+  if process_id == 0 and num_evals > 1:
+    params_tuple = (training_state.normalizer_params, training_state.params)
+    metrics = evaluator.run_evaluation(params_tuple, training_metrics={})
+    progress_fn(0, metrics)
+
+  for epoch in range(num_evals_after_init):
+    t = time.time()
+    local_key, epoch_key = jax.random.split(local_key)
+    epoch_keys = jax.random.split(epoch_key, num_devices)
+    training_state, env_state, loss_metrics = training_epoch(
+        training_state, env_state, epoch_keys
+    )
+    loss_metrics = jax.tree.map(jnp.mean, loss_metrics)
+    jax.block_until_ready(training_state.params)
+    epoch_training_time = time.time() - t
+    training_walltime += epoch_training_time
+    current_step = int(training_state.env_steps) * process_count
+    sps = (
+        num_training_steps_per_epoch * env_step_per_training_step
+        * process_count
+    ) / epoch_training_time
+    metrics = {
+        'training/sps': sps,
+        'training/walltime': training_walltime,
+        **{f'training/{k}': float(v) for k, v in loss_metrics.items()},
+    }
+
+    if process_id == 0:
+      params_tuple = (
+          training_state.normalizer_params,
+          training_state.params,
+      )
+      if num_evals > 0:
+        metrics = evaluator.run_evaluation(params_tuple, metrics)
+      policy_params_fn(current_step, make_policy, params_tuple)
+      progress_fn(current_step, metrics)
+
+  total_steps = current_step
+  assert total_steps >= num_timesteps, (total_steps, num_timesteps)
+
+  params_tuple = (training_state.normalizer_params, training_state.params)
+  return make_policy, params_tuple, metrics
+
+
+def _make_policy_factory(network, normalize_fn):
+  def make_policy(params, deterministic: bool = False):
+    normalizer_params, net_params = params
+
+    def policy(obs, rng):
+      obs_n = normalize_fn(normalizer_params, obs)
+      logits = network.policy_logits(net_params, obs_n)
+      if deterministic:
+        return network.distribution.mode(logits), {}
+      raw = network.distribution.sample_no_postprocess(logits, rng)
+      log_prob = network.distribution.log_prob(logits, raw)
+      return network.distribution.postprocess(raw), {
+          'log_prob': log_prob,
+          'raw_action': raw,
+      }
+
+    return policy
+
+  return make_policy
