@@ -97,11 +97,12 @@ class NormalTanhDistribution:
     loc, scale = self._loc_scale(params)
     log_unnormalized = -0.5 * jnp.square(raw_actions / scale - loc / scale)
     log_normalization = 0.5 * jnp.log(2.0 * jnp.pi) + jnp.log(scale)
+    # density of y = tanh(x): log p_y = log p_x − log|dy/dx|
     log_det_jacobian = 2.0 * (
         jnp.log(2.0) - raw_actions - jax.nn.softplus(-2.0 * raw_actions)
     )
     return jnp.sum(
-        log_unnormalized - log_normalization + log_det_jacobian, axis=-1
+        log_unnormalized - log_normalization - log_det_jacobian, axis=-1
     )
 
   def postprocess(self, raw_actions: jax.Array):
