@@ -166,6 +166,32 @@ class SelectObservationWrapper(Wrapper):
     return self.env.observation_size[self._key][-1]
 
 
+def _strongtype(tree):
+  """Clear weak types on every leaf.
+
+  Env reward/done math with python scalars (e.g. ``jp.where(d < x, 1.0,
+  0.0)``) produces weak-typed f32 leaves; a reset state has strong types.
+  Feeding a step output back into a jitted step/rollout then flips the jit
+  cache key once per weak leaf — harmless locally but each recompile costs
+  ~17 s through a remote-compile TPU service and minutes for large rollout
+  scans.  Normalizing at the wrapper boundary makes step outputs reusable
+  as inputs with zero recompiles.  The converts are no-ops in XLA.
+  """
+  return jax.tree.map(
+      lambda x: x.astype(x.dtype) if isinstance(x, jax.Array) else x, tree
+  )
+
+
+class StrongTypeWrapper(Wrapper):
+  """Normalizes weak dtypes of reset/step outputs (see _strongtype)."""
+
+  def reset(self, rng: jax.Array) -> State:
+    return _strongtype(self.env.reset(rng))
+
+  def step(self, state: State, action: jax.Array) -> State:
+    return _strongtype(self.env.step(state, action))
+
+
 class EvalMetrics:
   """Episode-accumulated metrics pytree (brax EvalMetrics semantics)."""
 
@@ -237,4 +263,5 @@ def wrap_for_training(
     env = DomainRandomizationVmapWrapper(env, randomization_fn)
   env = EpisodeWrapper(env, episode_length, action_repeat)
   env = AutoResetWrapper(env)
+  env = StrongTypeWrapper(env)
   return env
