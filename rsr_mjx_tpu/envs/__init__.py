@@ -52,6 +52,7 @@ def registered_envs() -> Tuple[str, ...]:
 
 def _register_builtin():
   from rsr_mjx_tpu.envs.airbot.cube_push import AirbotCubePush
+  from rsr_mjx_tpu.envs.airbot.t_push import AirbotTPush
 
   register_environment(
       'AirbotCubePush', lambda **kw: AirbotCubePush(variant='rsr', **kw)
@@ -60,6 +61,7 @@ def _register_builtin():
       'AirbotCubePushTrain',
       lambda **kw: AirbotCubePush(variant='train', **kw),
   )
+  register_environment('AirbotTPush', AirbotTPush)
 
 
 _register_builtin()

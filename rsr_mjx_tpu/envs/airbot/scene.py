@@ -34,18 +34,8 @@ _ARM_DEFAULTS = """
 _SOFT = 'condim="4" solimp="0.8 1 0.01" solref="0.01 1"'
 
 
-def build_cube_scene(
-    table_friction: float = 0.4,
-    cube_friction: float = 1.22,
-    cube_start: tuple = (0.32, 0.0, 0.82),
-    target_start: tuple = (0.4664427, 0.10352592, 0.81999997),
-) -> str:
-  """MJCF for the cube-push task.
-
-  Defaults reproduce test/sf.xml (the RSR-registered variant);
-  ``build_cube_scene(table_friction=1.0, cube_friction=1.0)`` reproduces
-  the ppo_train training variant (cube.xml).
-  """
+def _arm_xml() -> str:
+  """The Airbot Play arm subtree (shared by cube-push and T-shape)."""
   finger_geoms_r = f"""
             <geom {_SOFT} friction="1 0.005 0.0001" type="box" pos="0.012 0.002 0.002" size="0.012 0.002 0.01" contype="0" conaffinity="1"/>
             <geom {_SOFT} friction="1 0.005 0.0001" type="box" pos="-0.012 0.002 0.005" size="0.012 0.002 0.02" contype="0" conaffinity="1"/>
@@ -58,20 +48,6 @@ def build_cube_scene(
 """
 
   return f"""
-<mujoco model="airbot_cube_push">
-  <option timestep="0.0025" iterations="20" integrator="implicitfast" gravity="0 0 -9.81"/>
-  <compiler angle="radian" inertiafromgeom="auto" inertiagrouprange="22 22"/>
-
-  <default>
-    <geom contype="0" conaffinity="0" condim="4"/>
-{_ARM_DEFAULTS}
-  </default>
-
-  <worldbody>
-    <geom name="ground" type="plane" pos="0 0 0" size="3 3 0.1"
-          solimp=".9 .95 .001" solref="-10000 -1000" contype="3" conaffinity="3"/>
-
-    <!-- ================= Airbot Play arm ================= -->
     <body name="arm_pose" pos="0 0 0.78">
       <body name="arm_base">
         <geom type="box" pos="-0.02 0 0.005" size="0.0806 0.1375 0.0025" euler="0 0 1.5708" contype="0" conaffinity="1"/>
@@ -120,18 +96,68 @@ def build_cube_scene(
         </body>
       </body>
     </body>
+"""
 
-    <!-- ================= table ================= -->
+
+def _table_xml(table_friction) -> str:
+  return f"""
     <body name="table-a" pos="0.2 0 0">
       <geom name="table-b" size="0.8 0.3 0.01" pos="0 0 0.77" type="box"
-            {_SOFT} friction="{table_friction} 0.005 0.0001" contype="3" conaffinity="3"/>
+            {_SOFT} friction="{table_friction}" contype="3" conaffinity="3"/>
       <geom size="0.02 0.02 0.385" pos=" 0.56 -0.28 0.385" type="box" contype="0" conaffinity="0"/>
       <geom size="0.02 0.02 0.385" pos=" 0.56  0.28 0.385" type="box" contype="0" conaffinity="0"/>
       <geom size="0.02 0.02 0.385" pos="-0.56 -0.28 0.385" type="box" contype="0" conaffinity="0"/>
       <geom size="0.02 0.02 0.385" pos="-0.56  0.28 0.385" type="box" contype="0" conaffinity="0"/>
     </body>
+"""
 
-    <!-- ================= target marker & cube ================= -->
+
+_EQUALITY_AND_ACTUATORS = """
+  <equality>
+    <joint joint1="endleft" joint2="endright" polycoef="0 -1 0 0 0"/>
+  </equality>
+
+  <actuator>
+    <position name="joint1" ctrllimited="true" ctrlrange="-3.14 2.09"  joint="joint1" kp="1000" forcelimited="true" forcerange="-300 300"/>
+    <position name="joint2" ctrllimited="true" ctrlrange="-2.96 0.17"  joint="joint2" kp="1000" forcelimited="true" forcerange="-300 300"/>
+    <position name="joint3" ctrllimited="true" ctrlrange="-0.087 3.14" joint="joint3" kp="1000" forcelimited="true" forcerange="-300 300"/>
+    <position name="joint5" ctrllimited="true" ctrlrange="-1.74 1.74"  joint="joint5" kp="350" forcelimited="true" forcerange="-300 300"/>
+    <position name="joint6" ctrllimited="true" ctrlrange="-3.14 3.14"  joint="joint6" kp="100" forcelimited="true" forcerange="-300 300"/>
+  </actuator>
+"""
+
+_GROUND = """
+    <geom name="ground" type="plane" pos="0 0 0" size="3 3 0.1"
+          solimp=".9 .95 .001" solref="-10000 -1000" contype="3" conaffinity="3"/>
+"""
+
+
+def build_cube_scene(
+    table_friction: float = 0.4,
+    cube_friction: float = 1.22,
+    cube_start: tuple = (0.32, 0.0, 0.82),
+    target_start: tuple = (0.4664427, 0.10352592, 0.81999997),
+) -> str:
+  """MJCF for the cube-push task.
+
+  Defaults reproduce test/sf.xml (the RSR-registered variant);
+  ``build_cube_scene(table_friction=1.0, cube_friction=1.0)`` reproduces
+  the ppo_train training variant (cube.xml).
+  """
+  return f"""
+<mujoco model="airbot_cube_push">
+  <option timestep="0.0025" iterations="20" integrator="implicitfast" gravity="0 0 -9.81"/>
+  <compiler angle="radian" inertiafromgeom="auto" inertiagrouprange="22 22"/>
+
+  <default>
+    <geom contype="0" conaffinity="0" condim="4"/>
+{_ARM_DEFAULTS}
+  </default>
+
+  <worldbody>
+{_GROUND}
+{_arm_xml()}
+{_table_xml(f'{table_friction} 0.005 0.0001')}
     <body name="target_pos" pos="{target_start[0]} {target_start[1]} {target_start[2]}">
       <geom name="target" type="box" size="0.04 0.04 0.04" contype="0" conaffinity="2" mass="0"/>
       <inertial pos="0 0 0" mass="0.5" diaginertia="0.0005333 0.0005333 0.0005333"/>
@@ -145,17 +171,54 @@ def build_cube_scene(
             friction="{cube_friction} 0.1 0.1" contype="1" conaffinity="0"/>
     </body>
   </worldbody>
+{_EQUALITY_AND_ACTUATORS}
+</mujoco>
+"""
 
-  <equality>
-    <joint joint1="endleft" joint2="endright" polycoef="0 -1 0 0 0"/>
-  </equality>
 
-  <actuator>
-    <position name="joint1" ctrllimited="true" ctrlrange="-3.14 2.09"  joint="joint1" kp="1000" forcelimited="true" forcerange="-300 300"/>
-    <position name="joint2" ctrllimited="true" ctrlrange="-2.96 0.17"  joint="joint2" kp="1000" forcelimited="true" forcerange="-300 300"/>
-    <position name="joint3" ctrllimited="true" ctrlrange="-0.087 3.14" joint="joint3" kp="1000" forcelimited="true" forcerange="-300 300"/>
-    <position name="joint5" ctrllimited="true" ctrlrange="-1.74 1.74"  joint="joint5" kp="350" forcelimited="true" forcerange="-300 300"/>
-    <position name="joint6" ctrllimited="true" ctrlrange="-3.14 3.14"  joint="joint6" kp="100" forcelimited="true" forcerange="-300 300"/>
-  </actuator>
+def build_tshape_scene() -> str:
+  """MJCF for the T-shape push task (reference: T_shape.xml).
+
+  Differences from the cube scene: finer timestep (0.00025, iterations 8),
+  ``inertiafromgeom="true"`` (all inertials recomputed from geoms by the
+  compiler), near-zero finger travel, (1, 0.1, 0.0001) table friction, a
+  static two-box T target and a free two-box T block with tail sites.
+  """
+  # finger classes with locked travel (T_shape.xml:76-80)
+  defaults = _ARM_DEFAULTS.replace(
+      'range="-0.0331 -0.0329"', 'range="-0.001 0.001"'
+  ).replace('range="0.0329 0.0331"', 'range="-0.001 0.001"')
+  return f"""
+<mujoco model="airbot_t_push">
+  <option timestep="0.00025" iterations="8" integrator="implicitfast" gravity="0 0 -9.81"/>
+  <compiler angle="radian" inertiafromgeom="true"/>
+
+  <default>
+    <geom contype="0" conaffinity="0" condim="4"/>
+{defaults}
+  </default>
+
+  <worldbody>
+{_GROUND}
+{_arm_xml()}
+{_table_xml('1 0.1 0.0001')}
+    <body name="T_target" pos="0.29 0.12 0.805" euler="0 0 0.785398163">
+      <inertial pos="0 -0.03 0" mass="0.5" diaginertia="0.001 0.001 0.001"/>
+      <geom name="base_target" type="box" size="0.075 0.025 0.025" contype="0" conaffinity="0"/>
+      <geom name="vertical_target" type="box" pos="0 -0.075 0" size="0.025 0.05 0.025" contype="0" conaffinity="0"/>
+      <site name="T_target_tail" pos="0.0 -0.1 0.0" size="0.001" type="sphere"/>
+    </body>
+
+    <body name="T_block" pos="0.27 0.1 0.805">
+      <freejoint/>
+      <inertial pos="0 -0.03 0" mass="0.5" diaginertia="0.0000260417 0.0000708333 0.0000708333"/>
+      <geom name="base_block" type="box" {_SOFT} size="0.075 0.025 0.025"
+            friction="1 0.1 0.0001" contype="1" conaffinity="0"/>
+      <geom name="vertical_block" type="box" {_SOFT} pos="0 -0.075 0" size="0.025 0.05 0.025"
+            friction="1 0.1 0.0001" contype="1" conaffinity="0"/>
+      <site name="T_tail" pos="0.0 -0.1 0.0" size="0.001" type="sphere"/>
+    </body>
+  </worldbody>
+{_EQUALITY_AND_ACTUATORS}
 </mujoco>
 """
