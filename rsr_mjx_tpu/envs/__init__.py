@@ -63,6 +63,19 @@ def _register_builtin():
   )
   register_environment('AirbotTPush', AirbotTPush)
 
+  from rsr_mjx_tpu.envs.go2.joystick import Joystick, default_config
+
+  register_environment(
+      'Go2JoystickFlatTerrain',
+      lambda **kw: Joystick(task='flat_terrain', **kw),
+      config_fn=default_config,
+  )
+  register_environment(
+      'Go2JoystickRoughTerrain',
+      lambda **kw: Joystick(task='rough_terrain', **kw),
+      config_fn=default_config,
+  )
+
 
 _register_builtin()
 

@@ -1,0 +1,133 @@
+"""Unitree Go2 base environment.
+
+Native port of the reference Go2 base class (locomotion/go2/base.py:16-75):
+loads the scene, applies config overrides to timestep / joint damping Kd /
+actuator Kp (base.py:28-31), and exposes the sensor accessors the tasks
+use.  Config handling mirrors mjx_env.MjxEnv (ctrl_dt/sim_dt,
+config_overrides via flattened-dict update, mjx_env.py:104-142).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Union
+
+import jax
+import jax.numpy as jp
+import numpy as np
+from ml_collections import config_dict
+
+from rsr_mjx_tpu import physics
+from rsr_mjx_tpu.envs import core
+from rsr_mjx_tpu.envs.go2 import scene as go2_scene
+from rsr_mjx_tpu.physics.io import name2id
+from rsr_mjx_tpu.physics.types import Model
+
+FEET_SITES = ['FR', 'FL', 'RR', 'RL']
+FEET_GEOMS = ['FR', 'FL', 'RR', 'RL']
+FEET_POS_SENSOR = [f'{s}_pos' for s in FEET_SITES]
+ROOT_BODY = 'trunk'
+
+UPVECTOR_SENSOR = 'upvector'
+GLOBAL_LINVEL_SENSOR = 'global_linvel'
+GLOBAL_ANGVEL_SENSOR = 'global_angvel'
+LOCAL_LINVEL_SENSOR = 'local_linvel'
+ACCELEROMETER_SENSOR = 'accelerometer'
+GYRO_SENSOR = 'gyro'
+
+
+def task_to_xml(task: str) -> str:
+  return {
+      'flat_terrain': go2_scene.build_flat_scene(),
+      'rough_terrain': go2_scene.build_rough_scene(),
+  }[task]
+
+
+class Go2Env(core.Env):
+  """Base class for Go2 environments."""
+
+  def __init__(
+      self,
+      task_xml: str,
+      config: config_dict.ConfigDict,
+      config_overrides: Optional[
+          Dict[str, Union[str, int, list]]
+      ] = None,
+  ):
+    self._config = config_dict.ConfigDict(config)
+    if config_overrides:
+      self._config.update_from_flattened_dict(config_overrides)
+
+    mjm = __import__('mujoco').MjModel.from_xml_string(task_xml)
+    mjm.opt.timestep = self._config.sim_dt
+    mjm.dof_damping[6:] = config.Kd
+    mjm.actuator_gainprm[:, 0] = config.Kp
+    mjm.actuator_biasprm[:, 1] = -config.Kp
+    if mjm.nhfield:
+      mjm.hfield_data[:] = go2_scene.rough_heightfield(
+          int(mjm.hfield_nrow[0]), int(mjm.hfield_ncol[0])
+      )
+    self._mjm = mjm
+    self._model = physics.put_model(mjm)
+    self._imu_site_id = name2id(self._model, 'site', 'imu')
+
+  # ----- sensor helpers (mjx_env.get_sensor_data semantics)
+
+  def _sensor(self, data, name: str) -> jax.Array:
+    m = self._model
+    sid = name2id(m, 'sensor', name)
+    adr = int(m.sensor_adr.arr[sid])
+    dim = int(m.sensor_dim.arr[sid])
+    return data.sensordata[adr : adr + dim]
+
+  def get_upvector(self, data) -> jax.Array:
+    return self._sensor(data, UPVECTOR_SENSOR)
+
+  def get_gravity(self, data) -> jax.Array:
+    return data.site_xmat[self._imu_site_id].T @ jp.array([0.0, 0.0, -1.0])
+
+  def get_global_linvel(self, data) -> jax.Array:
+    return self._sensor(data, GLOBAL_LINVEL_SENSOR)
+
+  def get_global_angvel(self, data) -> jax.Array:
+    return self._sensor(data, GLOBAL_ANGVEL_SENSOR)
+
+  def get_local_linvel(self, data) -> jax.Array:
+    return self._sensor(data, LOCAL_LINVEL_SENSOR)
+
+  def get_accelerometer(self, data) -> jax.Array:
+    return self._sensor(data, ACCELEROMETER_SENSOR)
+
+  def get_gyro(self, data) -> jax.Array:
+    return self._sensor(data, GYRO_SENSOR)
+
+  def get_feet_pos(self, data) -> jax.Array:
+    return jp.vstack(
+        [self._sensor(data, name) for name in FEET_POS_SENSOR]
+    )
+
+  # ----- Env interface
+
+  @property
+  def model(self) -> Model:
+    return self._model
+
+  def bind_model(self, model: Model):
+    self._model = model
+
+  @property
+  def action_size(self) -> int:
+    return self._model.nu
+
+  @property
+  def ctrl_dt(self) -> float:
+    return float(self._config.ctrl_dt)
+
+  @property
+  def sim_dt(self) -> float:
+    return float(self._config.sim_dt)
+
+  def keyframe_qpos(self, name: str) -> np.ndarray:
+    return self._mjm.keyframe(name).qpos.copy()
+
+  def keyframe_ctrl(self, name: str) -> np.ndarray:
+    return self._mjm.keyframe(name).ctrl.copy()

@@ -352,6 +352,23 @@ def _hfield_sphere(m: Model, d: Data, pairs: np.ndarray):
   return dist, pos, n
 
 
+def geoms_colliding(m: Model, d: Data, geom1: int, geom2: int) -> jax.Array:
+  """True iff any contact slot of the (geom1, geom2) pair penetrates
+  (reference: mujoco_playground _src/collision.py:16-18).
+
+  The slots are located statically from the contact table, so this is a
+  fixed gather + reduce under jit.
+  """
+  g1 = d.contact.geom1.arr
+  g2 = d.contact.geom2.arr
+  sel = np.nonzero(
+      ((g1 == geom1) & (g2 == geom2)) | ((g1 == geom2) & (g2 == geom1))
+  )[0]
+  if len(sel) == 0:
+    return jnp.zeros((), dtype=bool)
+  return jnp.any(d.contact.dist[sel] < 0)
+
+
 def collision(m: Model, d: Data) -> Data:
   """Run all pair groups; assemble the static Contact set."""
   if m.ncon == 0:

@@ -162,7 +162,14 @@ def integrate(m: Model, d: Data) -> Data:
     raise NotImplementedError(f'integrator {integ}')
   # Euler integrates damping implicitly; implicitfast also folds in the
   # actuator velocity-derivative.  With zero damping this equals explicit.
-  qacc = _implicit_qacc(m, d)
+  # <flag eulerdamp="disable"/> (Go2 XMLs) makes Euler fully explicit.
+  _DSBL_EULERDAMP = 32768  # mujoco.mjtDisableBit.mjDSBL_EULERDAMP
+  if integ == IntegratorType.EULER and (
+      m.opt.disableflags & _DSBL_EULERDAMP
+  ):
+    qacc = d.qacc
+  else:
+    qacc = _implicit_qacc(m, d)
   qvel = d.qvel + h * qacc
   qpos = _integrate_pos(m, d.qpos, qvel, h)
   return d.replace(qpos=qpos, qvel=qvel, qacc=qacc, time=d.time + h)

@@ -288,6 +288,8 @@ def put_model(mjm: mujoco.MjModel, dtype=jnp.float32) -> Model:
       sensor_type=S(mjm.sensor_type),
       sensor_objid=S(mjm.sensor_objid),
       sensor_objtype=S(mjm.sensor_objtype),
+      sensor_reftype=S(mjm.sensor_reftype),
+      sensor_refid=S(mjm.sensor_refid),
       sensor_adr=S(mjm.sensor_adr),
       sensor_dim=S(mjm.sensor_dim),
       anc_mask=anc_mask,

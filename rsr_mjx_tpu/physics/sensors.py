@@ -54,22 +54,32 @@ def sensordata(m: Model, d: Data) -> Data:
     objtype = int(m.sensor_objtype[s])
     adr = int(m.sensor_adr[s])
     pos, mat, body = _frame(m, d, objtype, objid)
+    # optional reference frame (e.g. Go2 foot positions relative to the imu
+    # site, go2_mjx_feetonly.xml framepos reftype/refname)
+    refid = int(m.sensor_refid[s]) if m.sensor_refid is not None else -1
+    ref = None
+    if refid >= 0:
+      reftype = int(m.sensor_reftype[s])
+      ref = _frame(m, d, reftype, refid)
 
     if stype == SensorType.FRAMEPOS:
-      val = pos
+      val = pos if ref is None else ref[1].T @ (pos - ref[0])
     elif stype == SensorType.FRAMEQUAT:
       # reconstruct quat from body quat and local offset (sites/geoms share
       # the body quat composed with their local quat; use mat→quat-free path
       # by reading xquat for bodies and converting mat otherwise)
       val = _mat_to_quat(mat)
     elif stype == SensorType.FRAMEXAXIS:
-      val = mat[:, 0]
+      val = mat[:, 0] if ref is None else ref[1].T @ mat[:, 0]
     elif stype == SensorType.FRAMEYAXIS:
-      val = mat[:, 1]
+      val = mat[:, 1] if ref is None else ref[1].T @ mat[:, 1]
     elif stype == SensorType.FRAMEZAXIS:
-      val = mat[:, 2]
+      val = mat[:, 2] if ref is None else ref[1].T @ mat[:, 2]
     elif stype == SensorType.FRAMELINVEL:
       _, lin = _point_vel(m, d, body, pos)
+      if ref is not None:
+        _, ref_lin = _point_vel(m, d, ref[2], ref[0])
+        lin = ref[1].T @ (lin - ref_lin)
       val = lin
     elif stype == SensorType.FRAMEANGVEL:
       ang, _ = _point_vel(m, d, body, pos)

@@ -138,13 +138,14 @@ def rne(m: Model, d: Data) -> Data:
 def xfrc_accumulate(m: Model, d: Data) -> jax.Array:
   """Project xfrc_applied (per-body CoM wrench, world frame) to qfrc.
 
-  Used by the Go2 joystick perturbation kicks
-  (reference: go2/joystick.py:594-644 sets xfrc_applied on the torso).
+  Layout follows MuJoCo: ``xfrc_applied[:, :3]`` is force, ``[:, 3:]``
+  torque.  Used by the Go2 joystick perturbation kicks (reference:
+  go2/joystick.py:594-644 sets xfrc_applied[torso, :3]).
   """
   # spatial force of body b about dof j's anchor:
   # torque' = torque + (xipos_b − anchor_j) × force
-  trq = d.xfrc_applied[:, :3]
-  frc = d.xfrc_applied[:, 3:]
+  frc = d.xfrc_applied[:, :3]
+  trq = d.xfrc_applied[:, 3:]
   # for each (body, dof): arm = xipos[b] − cdof_anchor[j]
   arm = d.xipos[:, None, :] - d.cdof_anchor[None, :, :]  # (nbody, nv, 3)
   trq_at = trq[:, None, :] + jnp.cross(arm, frc[:, None, :])

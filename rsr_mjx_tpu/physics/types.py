@@ -85,20 +85,20 @@ class ConeType:
   ELLIPTIC = 1
 
 
-# Sensor types we evaluate (subset used by the Go2 suite; values = mjtSensor).
+# Sensor types we evaluate (subset used by the Go2 suite; values match
+# mujoco.mjtSensor of the compiling MuJoCo version).
 class SensorType:
   ACCELEROMETER = 1
   VELOCIMETER = 2
   GYRO = 3
-  FRAMEPOS = 25
-  FRAMEQUAT = 29
-  FRAMEXAXIS = 30
-  FRAMEYAXIS = 31
-  FRAMEZAXIS = 32
-  FRAMELINVEL = 33
-  FRAMEANGVEL = 34
+  FRAMEPOS = 26
+  FRAMEQUAT = 27
+  FRAMEXAXIS = 28
+  FRAMEYAXIS = 29
+  FRAMEZAXIS = 30
+  FRAMELINVEL = 31
+  FRAMEANGVEL = 32
   SUBTREELINVEL = 36
-  UPVECTOR = -1  # synthetic
 
 
 class StaticArr:
@@ -269,6 +269,8 @@ class Model:
   sensor_type: StaticArr = _static(default=None)
   sensor_objid: StaticArr = _static(default=None)
   sensor_objtype: StaticArr = _static(default=None)
+  sensor_reftype: StaticArr = _static(default=None)
+  sensor_refid: StaticArr = _static(default=None)
   sensor_adr: StaticArr = _static(default=None)
   sensor_dim: StaticArr = _static(default=None)
   # ancestor mask: anc_mask[b, j] = 1.0 iff dof j is an ancestor dof of body b
@@ -319,7 +321,7 @@ class Data:
   ctrl: jax.Array  # (nu,)
   act: jax.Array  # (na,) actuator internal state
   time: jax.Array  # ()
-  xfrc_applied: jax.Array  # (nbody, 6) (torque, force) at body CoM, world
+  xfrc_applied: jax.Array  # (nbody, 6) (force, torque) at body CoM, world
 
   # forward kinematics products
   xpos: jax.Array  # (nbody, 3)
