@@ -63,17 +63,48 @@ def _register_builtin():
   )
   register_environment('AirbotTPush', AirbotTPush)
 
+  from rsr_mjx_tpu.envs.airbot import randomize as airbot_randomize
+  from rsr_mjx_tpu.envs.go2 import randomize as go2_randomize
+  from rsr_mjx_tpu.envs.go2.getup import Getup
+  from rsr_mjx_tpu.envs.go2.getup import default_config as getup_config
+  from rsr_mjx_tpu.envs.go2.handstand import Footstand, Handstand
+  from rsr_mjx_tpu.envs.go2.handstand import (
+      default_config as handstand_config,
+  )
   from rsr_mjx_tpu.envs.go2.joystick import Joystick, default_config
+
+  _RANDOMIZERS['AirbotCubePush'] = airbot_randomize.domain_randomize
+  _RANDOMIZERS['AirbotCubePushTrain'] = airbot_randomize.domain_randomize
 
   register_environment(
       'Go2JoystickFlatTerrain',
       lambda **kw: Joystick(task='flat_terrain', **kw),
       config_fn=default_config,
+      randomizer=go2_randomize.domain_randomize,
   )
   register_environment(
       'Go2JoystickRoughTerrain',
       lambda **kw: Joystick(task='rough_terrain', **kw),
       config_fn=default_config,
+      randomizer=go2_randomize.domain_randomize,
+  )
+  register_environment(
+      'Go2Getup',
+      Getup,
+      config_fn=getup_config,
+      randomizer=go2_randomize.domain_randomize,
+  )
+  register_environment(
+      'Go2Handstand',
+      Handstand,
+      config_fn=handstand_config,
+      randomizer=go2_randomize.domain_randomize,
+  )
+  register_environment(
+      'Go2Footstand',
+      Footstand,
+      config_fn=handstand_config,
+      randomizer=go2_randomize.domain_randomize,
   )
 
 

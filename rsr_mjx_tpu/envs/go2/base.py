@@ -39,6 +39,7 @@ def task_to_xml(task: str) -> str:
   return {
       'flat_terrain': go2_scene.build_flat_scene(),
       'rough_terrain': go2_scene.build_rough_scene(),
+      'full_flat': go2_scene.build_full_scene(),
   }[task]
 
 

@@ -214,6 +214,164 @@ def build_rough_scene(
 """
 
 
+_FULL_LEG_POS = {
+    'FR': ((0.1881, -0.04675, 0), (0, -0.08, 0)),
+    'FL': ((0.1881, 0.04675, 0), (0, 0.08, 0)),
+    'RR': ((-0.1881, -0.04675, 0), (0, -0.08, 0)),
+    'RL': ((-0.1881, 0.04675, 0), (0, 0.08, 0)),
+}
+_FULL_HIP_QUAT = {
+    'FR': '0.507341 0.514169 0.495027 0.482891',
+    'FL': '0.482891 0.495027 0.514169 0.507341',
+    'RR': '0.495027 0.482891 0.507341 0.514169',
+    'RL': '0.514169 0.507341 0.482891 0.495027',
+}
+_FULL_THIGH_QUAT = {
+    'FR': '0.65243 -0.0272313 0.0775126 0.753383',
+    'FL': '0.753383 0.0775126 -0.0272313 0.65243',
+    'RR': '0.65243 -0.0272313 0.0775126 0.753383',
+    'RL': '0.753383 0.0775126 -0.0272313 0.65243',
+}
+
+
+def _full_leg_xml(name: str) -> str:
+  hip_pos, thigh_pos = _FULL_LEG_POS[name]
+  lo = name.lower()
+  fr = 1 if name[0] == 'F' else -1
+  side = 1 if name[1] == 'L' else -1
+  hip_ipos = f'{-0.0049166 * fr} {0.00762615 * -side} -8.865e-05'
+  thigh_ipos = f'-0.00304722 {0.019315 * -side} -0.0305004'
+  hip_cls = 'hip_left' if side == 1 else 'hip_right'
+  return f"""
+      <body name="{name}_hip" pos="{hip_pos[0]} {hip_pos[1]} {hip_pos[2]}">
+        <inertial pos="{hip_ipos}" quat="{_FULL_HIP_QUAT[name]}" mass="0.68" diaginertia="0.000734064 0.000468438 0.000398719"/>
+        <joint class="abduction" name="{name}_hip_joint"/>
+        <geom name="{lo}_hip" class="{hip_cls}1"/>
+        <body name="{name}_thigh" pos="{thigh_pos[0]} {thigh_pos[1]} {thigh_pos[2]}">
+          <inertial pos="{thigh_ipos}" quat="{_FULL_THIGH_QUAT[name]}" mass="1.009" diaginertia="0.00478717 0.00460903 0.000709268"/>
+          <joint class="hip" name="{name}_thigh_joint"/>
+          <geom name="{lo}_thigh1" class="thigh1"/>
+          <geom name="{lo}_thigh2" class="thigh2"/>
+          <geom name="{lo}_thigh3" class="thigh3"/>
+          <body name="{name}_calf" pos="0 0 -0.213">
+            <inertial pos="0.00429862 0.000976676 -0.146197" quat="0.691246 0.00357467 0.00511118 0.722592" mass="0.195862" diaginertia="0.00149767 0.00148468 3.58427e-05"/>
+            <joint class="knee" name="{name}_calf_joint"/>
+            <geom name="{lo}_calf1" class="calf1"/>
+            <geom name="{lo}_calf2" class="calf2"/>
+            <geom name="{name}" class="foot"/>
+            <site name="{name}" pos="0 0 -0.213" type="sphere" size="0.023" group="5"/>
+          </body>
+        </body>
+      </body>
+"""
+
+
+def build_full_scene() -> str:
+  """Full-collision flat-terrain Go2 (menagerie variant), used by the
+  getup and handstand/footstand tasks (reference:
+  go2_mjx_fullcollisions.xml / go2_mjx.xml + their scene files).
+
+  Deviations from the reference, chosen for the static-shape TPU engine:
+  cylinders are approximated by equal-size capsules, and collision is
+  body↔floor only (the reference's default contype/conaffinity enable
+  self-collision, bounded dynamically by MJX's max_geom_pairs=12 custom —
+  a dynamic broad-phase the static pair table deliberately avoids; floor
+  contacts dominate the task dynamics for fall recovery and stands).
+  """
+  legs = ''.join(_full_leg_xml(n) for n in ('FR', 'FL', 'RR', 'RL'))
+  return f"""
+<mujoco model="go2_fullcollisions_flat">
+  <option iterations="1" ls_iterations="5" timestep="0.004" integrator="Euler">
+    <flag eulerdamp="disable"/>
+  </option>
+  <compiler angle="radian" autolimits="true"/>
+
+  <default>
+    <default class="go2">
+      <geom condim="1" contype="0" conaffinity="1"/>
+      <joint axis="0 1 0" armature="0.005" damping="0.5"/>
+      <position forcerange="-23.7 23.7" inheritrange="1" kp="35"/>
+      <default class="abduction">
+        <joint axis="1 0 0" range="-0.863 0.863" frictionloss="0.3"/>
+      </default>
+      <default class="hip">
+        <joint range="-0.686 4.501" frictionloss="0.3"/>
+      </default>
+      <default class="knee">
+        <joint range="-2.818 -0.888" frictionloss="1.0"/>
+        <position forcerange="-35.55 35.55"/>
+      </default>
+      <default class="collision">
+        <geom group="3" type="capsule"/>
+        <default class="hip_left1"><geom size="0.046 0.02" pos="0 0.045 0" quat="1 1 0 0"/></default>
+        <default class="hip_right1"><geom size="0.046 0.02" pos="0 -0.045 0" quat="1 1 0 0"/></default>
+        <default class="thigh1"><geom size="0.015" fromto="-0.02 0 0 -0.02 0 -0.16"/></default>
+        <default class="thigh2"><geom size="0.015" fromto="0 0 0 -0.02 0 -0.1"/></default>
+        <default class="thigh3"><geom size="0.015" fromto="-0.02 0 -0.16 0 0 -0.2"/></default>
+        <default class="calf1"><geom size="0.01" fromto="0 0 0 0.02 0 -0.13"/></default>
+        <default class="calf2"><geom size="0.01" fromto="0.02 0 -0.13 0 0 -0.2"/></default>
+        <default class="foot">
+          <geom type="sphere" size="0.023" pos="0 0 -0.213" solimp="0.9 .95 0.023" condim="3"/>
+        </default>
+      </default>
+    </default>
+  </default>
+
+  <worldbody>
+    <body name="trunk" pos="0 0 0.445" childclass="go2">
+      <site name="head" pos="0.3 0 0" size="0.02" group="5"/>
+      <inertial pos="0.0223 0.002 -0.0005" quat="-0.00342088 0.705204 0.000106698 0.708996" mass="5.204"
+        diaginertia="0.0716565 0.0630105 0.0168101"/>
+      <freejoint/>
+      <geom name="trunk1" class="collision" quat="1 0 1 0" pos="0 -0.04 0" size="0.058 0.125"/>
+      <geom name="trunk2" class="collision" quat="1 0 1 0" pos="0 0.04 0" size="0.058 0.125"/>
+      <site name="imu" pos="-0.01592 -0.06659 -0.00617" group="5"/>
+{legs}
+    </body>
+    <geom name="floor" size="0 0 0.01" type="plane" contype="1" conaffinity="0" priority="1"
+      friction="0.6" condim="3"/>
+  </worldbody>
+
+  <actuator>
+    <position class="abduction" name="FR_hip" joint="FR_hip_joint"/>
+    <position class="hip" name="FR_thigh" joint="FR_thigh_joint"/>
+    <position class="knee" name="FR_calf" joint="FR_calf_joint"/>
+    <position class="abduction" name="FL_hip" joint="FL_hip_joint"/>
+    <position class="hip" name="FL_thigh" joint="FL_thigh_joint"/>
+    <position class="knee" name="FL_calf" joint="FL_calf_joint"/>
+    <position class="abduction" name="RR_hip" joint="RR_hip_joint"/>
+    <position class="hip" name="RR_thigh" joint="RR_thigh_joint"/>
+    <position class="knee" name="RR_calf" joint="RR_calf_joint"/>
+    <position class="abduction" name="RL_hip" joint="RL_hip_joint"/>
+    <position class="hip" name="RL_thigh" joint="RL_thigh_joint"/>
+    <position class="knee" name="RL_calf" joint="RL_calf_joint"/>
+  </actuator>
+
+  <sensor>
+    <gyro site="imu" name="gyro"/>
+    <velocimeter site="imu" name="local_linvel"/>
+    <accelerometer site="imu" name="accelerometer"/>
+    <framepos objtype="site" objname="imu" name="position"/>
+    <framezaxis objtype="site" objname="imu" name="upvector"/>
+    <framexaxis objtype="site" objname="imu" name="forwardvector"/>
+    <framelinvel objtype="site" objname="imu" name="global_linvel"/>
+    <frameangvel objtype="site" objname="imu" name="global_angvel"/>
+    <framequat objtype="site" objname="imu" name="orientation"/>
+    <framelinvel objtype="site" objname="FR" name="FR_global_linvel"/>
+    <framelinvel objtype="site" objname="FL" name="FL_global_linvel"/>
+    <framelinvel objtype="site" objname="RR" name="RR_global_linvel"/>
+    <framelinvel objtype="site" objname="RL" name="RL_global_linvel"/>
+    <framepos objtype="site" objname="FR" name="FR_pos" reftype="site" refname="imu"/>
+    <framepos objtype="site" objname="FL" name="FL_pos" reftype="site" refname="imu"/>
+    <framepos objtype="site" objname="RR" name="RR_pos" reftype="site" refname="imu"/>
+    <framepos objtype="site" objname="RL" name="RL_pos" reftype="site" refname="imu"/>
+    <framepos objtype="site" objname="head" name="head_pos"/>
+  </sensor>
+{_KEYFRAMES}
+</mujoco>
+"""
+
+
 def rough_heightfield(nrow: int = 100, ncol: int = 100, seed: int = 0):
   """Procedural smooth bumpy terrain heights in [0, 1], (nrow*ncol,)."""
   rng = np.random.RandomState(seed)
