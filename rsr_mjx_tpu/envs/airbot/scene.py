@@ -126,9 +126,16 @@ _EQUALITY_AND_ACTUATORS = """
   </actuator>
 """
 
+# The reference ground plane carries contype/conaffinity 3, which makes
+# every arm link and the cube potential ground colliders (sf.xml:17).  The
+# table blocks the arm from ever reaching the ground and the cube episode
+# terminates (z < 0.6) before ground impact, so those ~64 contact slots are
+# permanently inactive; with a static contact table they would only burn
+# solver rows.  The plane is kept for visuals/raycasts but excluded from
+# collision.
 _GROUND = """
     <geom name="ground" type="plane" pos="0 0 0" size="3 3 0.1"
-          solimp=".9 .95 .001" solref="-10000 -1000" contype="3" conaffinity="3"/>
+          solimp=".9 .95 .001" solref="-10000 -1000" contype="0" conaffinity="0"/>
 """
 
 

@@ -89,8 +89,13 @@ def solve(m: Model, d: Data, efc: _constraint.Efc) -> Data:
       t_new = t - dphi / jnp.maximum(ddphi, 1e-12)
       return jnp.clip(t_new, 0.0, 4.0), None
 
+    # The 1-D Newton line search on the piecewise-quadratic φ(t) is a
+    # contraction that converges in a handful of iterations; MuJoCo's
+    # ls_iterations default (50) is sized for its bracketing search and
+    # would multiply the hot loop's cost ~6x for nothing under a static
+    # scan, so cap it.
     t, _ = jax.lax.scan(ls_iter, jnp.ones((), dtype=x.dtype),
-                        None, length=max(m.opt.ls_iterations, 1))
+                        None, length=max(min(m.opt.ls_iterations, 8), 1))
     return x + t * dx, None
 
   x, _ = jax.lax.scan(

@@ -1,0 +1,163 @@
+"""Tuned RL configurations per environment.
+
+Mirrors the reference's tuned hyperparameter tables:
+  - Go2 configs: mujoco_playground/config/locomotion_params.py
+  - Airbot configs: ppo_train/airbot_training/train.py:26-55 (PPO) and
+    train_sac.py:32-56 (SAC)
+"""
+
+from __future__ import annotations
+
+from ml_collections import config_dict
+
+from rsr_mjx_tpu import envs as _envs
+
+
+def ppo_config(env_name: str) -> config_dict.ConfigDict:
+  """Tuned PPO config (locomotion_params.py:4-123 for Go2;
+  airbot_training/train.py:26-55 for Airbot)."""
+  if env_name.startswith('Airbot'):
+    return config_dict.create(
+        num_timesteps=15_000_000,
+        num_evals=30,
+        reward_scaling=0.1,
+        episode_length=1200,
+        normalize_observations=True,
+        action_repeat=1,
+        unroll_length=10,
+        num_minibatches=32,
+        num_updates_per_batch=8,
+        discounting=0.96,
+        learning_rate=1e-4,
+        entropy_cost=2e-2,
+        num_envs=1024,
+        batch_size=256,
+        network_factory=config_dict.create(
+            policy_hidden_layer_sizes=(32, 32, 32, 32),
+            value_hidden_layer_sizes=(256, 256, 256, 256, 256),
+        ),
+    )
+
+  env_config = _envs.get_default_config(env_name)
+  rl_config = config_dict.create(
+      num_timesteps=100_000_000,
+      num_evals=10,
+      reward_scaling=1.0,
+      episode_length=env_config.episode_length,
+      normalize_observations=True,
+      action_repeat=1,
+      unroll_length=20,
+      num_minibatches=32,
+      num_updates_per_batch=4,
+      discounting=0.97,
+      learning_rate=3e-4,
+      entropy_cost=1e-2,
+      num_envs=8192,
+      batch_size=256,
+      max_grad_norm=1.0,
+      network_factory=config_dict.create(
+          policy_hidden_layer_sizes=(128, 128, 128, 128),
+          value_hidden_layer_sizes=(256, 256, 256, 256, 256),
+          policy_obs_key='state',
+          value_obs_key='state',
+      ),
+  )
+  if env_name in ('Go2JoystickFlatTerrain', 'Go2JoystickRoughTerrain'):
+    rl_config.num_timesteps = 200_000_000
+    rl_config.num_evals = 10
+    rl_config.network_factory = config_dict.create(
+        policy_hidden_layer_sizes=(512, 256, 128),
+        value_hidden_layer_sizes=(512, 256, 128),
+        policy_obs_key='state',
+        value_obs_key='privileged_state',
+    )
+  elif env_name in ('Go2Handstand', 'Go2Footstand'):
+    rl_config.num_timesteps = 100_000_000
+    rl_config.num_evals = 5
+    rl_config.network_factory = config_dict.create(
+        policy_hidden_layer_sizes=(512, 256, 128),
+        value_hidden_layer_sizes=(512, 256, 128),
+        policy_obs_key='state',
+        value_obs_key='privileged_state',
+    )
+  elif env_name == 'Go2Getup':
+    rl_config.num_timesteps = 50_000_000
+    rl_config.num_evals = 5
+    rl_config.network_factory = config_dict.create(
+        policy_hidden_layer_sizes=(512, 256, 128),
+        value_hidden_layer_sizes=(512, 256, 128),
+        policy_obs_key='state',
+        value_obs_key='privileged_state',
+    )
+  else:
+    raise ValueError(f'Unsupported env: {env_name}')
+  return rl_config
+
+
+def sac_config(env_name: str) -> config_dict.ConfigDict:
+  """Tuned SAC config (locomotion_params.py:125-180 for Go2;
+  airbot_training/train_sac.py:32-56 for Airbot)."""
+  if env_name.startswith('Airbot'):
+    return config_dict.create(
+        num_timesteps=500_000,
+        num_evals=10,
+        reward_scaling=1.0,
+        episode_length=1200,
+        normalize_observations=True,
+        action_repeat=1,
+        discounting=0.96,
+        learning_rate=1e-4,
+        num_envs=1024,
+        num_eval_envs=128,
+        batch_size=256,
+        tau=0.005,
+        min_replay_size=100_000,
+        max_replay_size=1_000_000,
+        grad_updates_per_step=1,
+        network_factory=config_dict.create(hidden_layer_sizes=(256, 256)),
+    )
+
+  env_config = _envs.get_default_config(env_name)
+  rl_config = config_dict.create(
+      num_timesteps=5_000_000,
+      num_evals=10,
+      reward_scaling=1.0,
+      episode_length=env_config.episode_length,
+      normalize_observations=True,
+      action_repeat=1,
+      discounting=0.97,
+      learning_rate=3e-4,
+      num_envs=1024,
+      num_eval_envs=128,
+      batch_size=256,
+      tau=0.005,
+      min_replay_size=100_000,
+      max_replay_size=1_000_000,
+      grad_updates_per_step=1,
+      policy_obs_key='state',
+      network_factory=config_dict.create(hidden_layer_sizes=(256, 256)),
+  )
+  if env_name in ('Go2JoystickFlatTerrain', 'Go2JoystickRoughTerrain'):
+    rl_config.num_timesteps = 20_000_000
+    rl_config.num_evals = 10
+    rl_config.num_envs = 4096
+    rl_config.batch_size = 512
+    rl_config.min_replay_size = 200_000
+    rl_config.network_factory = config_dict.create(
+        hidden_layer_sizes=(512, 256, 128)
+    )
+  elif env_name in ('Go2Handstand', 'Go2Footstand'):
+    rl_config.num_timesteps = 10_000_000
+    rl_config.num_evals = 5
+    rl_config.network_factory = config_dict.create(
+        hidden_layer_sizes=(512, 256, 128)
+    )
+  elif env_name == 'Go2Getup':
+    rl_config.num_timesteps = 5_000_000
+    rl_config.num_evals = 5
+    rl_config.network_factory = config_dict.create(
+        hidden_layer_sizes=(512, 256, 128)
+    )
+  else:
+    raise ValueError(f'Unsupported env: {env_name}')
+  return rl_config

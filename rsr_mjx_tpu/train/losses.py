@@ -96,7 +96,8 @@ def compute_ppo_loss(
   policy_logits = ppo_network.policy_logits(params, obs)
   baseline = ppo_network.value_apply(params, obs)
   nobs_last = running_statistics.normalize(
-      normalizer_params, data.next_observation[-1]
+      normalizer_params,
+      jax.tree.map(lambda x: x[-1], data.next_observation),
   )
   bootstrap_value = ppo_network.value_apply(params, nobs_last)
 
@@ -136,12 +137,18 @@ def compute_ppo_loss(
 
   task_loss = policy_loss + v_loss + entropy_loss
 
-  # RSR term on the current policy's mode action (RSR/losses.py:186-193)
+  # RSR term on the current policy's mode action (RSR/losses.py:186-193).
+  # With dict observations the transition vector uses the policy's obs key.
   current_policy_actions = dist.mode(policy_logits)
+  rsr_obs = data.observation
+  rsr_nobs = data.next_observation
+  if isinstance(rsr_obs, dict):
+    rsr_obs = rsr_obs[ppo_network.policy_obs_key]
+    rsr_nobs = rsr_nobs[ppo_network.policy_obs_key]
   sim2real_loss, distribution_distance = rsr.compute_rsr_loss(
-      data.observation,
+      rsr_obs,
       current_policy_actions,
-      data.next_observation,
+      rsr_nobs,
       past_data,
       loss_scale=rsr_loss_scale,
   )

@@ -126,32 +126,56 @@ class NormalTanhDistribution:
 
 @dataclasses.dataclass(frozen=True)
 class PPONetworks:
+  """PPO networks.  Supports dict observations with separate policy/value
+  keys — the asymmetric actor-critic the Go2 configs use (policy on
+  'state', value on 'privileged_state', locomotion_params.py:30-39)."""
+
   policy: MLP
   value: MLP
   distribution: NormalTanhDistribution
-  obs_size: int
+  obs_size: Any  # int or {key: size}
   action_size: int
+  policy_obs_key: str = 'state'
+  value_obs_key: str = 'state'
+
+  def _sizes(self):
+    def last(s):
+      return s[-1] if isinstance(s, (tuple, list)) else s
+
+    if isinstance(self.obs_size, dict):
+      return (
+          last(self.obs_size[self.policy_obs_key]),
+          last(self.obs_size[self.value_obs_key]),
+      )
+    return last(self.obs_size), last(self.obs_size)
 
   def init(self, rng: jax.Array):
     kp, kv = jax.random.split(rng)
+    p_size, v_size = self._sizes()
     return {
-        'policy': self.policy.init(kp, self.obs_size),
-        'value': self.value.init(kv, self.obs_size),
+        'policy': self.policy.init(kp, p_size),
+        'value': self.value.init(kv, v_size),
     }
 
   def policy_logits(self, params, obs):
+    if isinstance(obs, dict):
+      obs = obs[self.policy_obs_key]
     return self.policy.apply(params['policy'], obs)
 
   def value_apply(self, params, obs):
+    if isinstance(obs, dict):
+      obs = obs[self.value_obs_key]
     return jnp.squeeze(self.value.apply(params['value'], obs), axis=-1)
 
 
 def make_ppo_networks(
-    obs_size: int,
+    obs_size,
     action_size: int,
     policy_hidden_layer_sizes: Sequence[int] = (32, 32, 32, 32),
     value_hidden_layer_sizes: Sequence[int] = (256, 256, 256, 256, 256),
     activation: ActivationFn = jax.nn.swish,
+    policy_obs_key: str = 'state',
+    value_obs_key: str = 'state',
 ) -> PPONetworks:
   """Mirror of brax ppo_networks.make_ppo_networks defaults
   (network factory usage: test/rsr_policy_training.py:260-266)."""
@@ -160,7 +184,10 @@ def make_ppo_networks(
       tuple(policy_hidden_layer_sizes) + (dist.param_size(),), activation
   )
   value = MLP(tuple(value_hidden_layer_sizes) + (1,), activation)
-  return PPONetworks(policy, value, dist, obs_size, action_size)
+  return PPONetworks(
+      policy, value, dist, obs_size, action_size,
+      policy_obs_key, value_obs_key,
+  )
 
 
 def make_inference_fn(networks: PPONetworks, normalizer=None):

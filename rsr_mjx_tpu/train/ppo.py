@@ -142,8 +142,6 @@ def train(
 
   obs_size = environment.observation_size
   action_size = environment.action_size
-  if not isinstance(obs_size, int):
-    raise NotImplementedError('dict observations: use SelectObservation')
 
   network = network_factory(obs_size, action_size)
   if normalize_observations:
@@ -155,8 +153,8 @@ def train(
   optimizer = optax.adam(learning_rate=learning_rate)
 
   init_params = {
-      'policy': network.policy.init(key_policy, obs_size),
-      'value': network.value.init(key_value, obs_size),
+      'policy': network.policy.init(key_policy, network._sizes()[0]),
+      'value': network.value.init(key_value, network._sizes()[1]),
   }
   training_state = TrainingState(
       optimizer_state=optimizer.init(init_params),

@@ -9,71 +9,101 @@ statistics (reference: pmap_axis_name='i' plumbing).
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 
 @struct.dataclass
 class RunningStatisticsState:
+  """All fields except count are pytrees matching the observation
+  structure — a plain array for array obs, a dict of arrays for dict obs
+  (Go2's {'state', 'privileged_state'})."""
+
   count: jax.Array  # ()
-  mean: jax.Array  # (obs_size,)
-  summed_variance: jax.Array  # (obs_size,)
-  std: jax.Array  # (obs_size,)
+  mean: Any  # obs-shaped pytree
+  summed_variance: Any
+  std: Any
 
 
-def init_state(obs_size: int) -> RunningStatisticsState:
+def init_state(obs_size) -> RunningStatisticsState:
+  """``obs_size`` is an int or a pytree of ints/shape-tuples."""
+
+  def _zeros(n):
+    n = n[-1] if isinstance(n, (tuple, list)) else n
+    return jnp.zeros(n)
+
+  def _ones(n):
+    n = n[-1] if isinstance(n, (tuple, list)) else n
+    return jnp.ones(n)
+
+  if isinstance(obs_size, dict):
+    mean = {k: _zeros(v) for k, v in obs_size.items()}
+    var = {k: _zeros(v) for k, v in obs_size.items()}
+    std = {k: _ones(v) for k, v in obs_size.items()}
+  else:
+    mean, var, std = _zeros(obs_size), _zeros(obs_size), _ones(obs_size)
   return RunningStatisticsState(
-      count=jnp.zeros(()),
-      mean=jnp.zeros(obs_size),
-      summed_variance=jnp.zeros(obs_size),
-      std=jnp.ones(obs_size),
+      count=jnp.zeros(()), mean=mean, summed_variance=var, std=std
   )
 
 
 def update(
     state: RunningStatisticsState,
-    batch: jax.Array,
+    batch: Any,
     pmap_axis_name: Optional[str] = None,
 ) -> RunningStatisticsState:
-  """Welford update over all leading axes of ``batch``."""
-  obs_size = batch.shape[-1]
-  flat = batch.reshape(-1, obs_size)
-  local_count = jnp.asarray(flat.shape[0], dtype=jnp.float32)
+  """Welford update over all leading axes of every leaf of ``batch``."""
+  leaves = jax.tree.leaves(batch)
+  obs_size = leaves[0].shape[-1]
+  local_count = jnp.asarray(
+      np.prod(leaves[0].shape[:-1]) if leaves[0].ndim > 1 else 1,
+      dtype=jnp.float32,
+  )
   if pmap_axis_name is not None:
     num_replicas = jax.lax.psum(1, axis_name=pmap_axis_name)
   else:
     num_replicas = 1
-  batch_count = local_count * num_replicas
+  count = state.count + local_count * num_replicas
 
-  count = state.count + batch_count
-  diff_to_old = flat - state.mean
-  mean_update = jnp.sum(diff_to_old, axis=0) / count
-  if pmap_axis_name is not None:
-    mean_update = jax.lax.psum(mean_update, axis_name=pmap_axis_name)
-  mean = state.mean + mean_update
+  def _mean_update(mean, x):
+    flat = x.reshape(-1, x.shape[-1])
+    mu = jnp.sum(flat - mean, axis=0) / count
+    if pmap_axis_name is not None:
+      mu = jax.lax.psum(mu, axis_name=pmap_axis_name)
+    return mean + mu
 
-  diff_to_new = flat - mean
-  var_update = jnp.sum(diff_to_old * diff_to_new, axis=0)
-  if pmap_axis_name is not None:
-    var_update = jax.lax.psum(var_update, axis_name=pmap_axis_name)
-  summed_variance = state.summed_variance + var_update
+  mean = jax.tree.map(_mean_update, state.mean, batch)
 
-  std = jnp.sqrt(summed_variance / jnp.maximum(count, 1.0) + 1e-6)
+  def _var_update(var, old_mean, new_mean, x):
+    flat = x.reshape(-1, x.shape[-1])
+    vu = jnp.sum((flat - old_mean) * (flat - new_mean), axis=0)
+    if pmap_axis_name is not None:
+      vu = jax.lax.psum(vu, axis_name=pmap_axis_name)
+    return var + vu
+
+  summed_variance = jax.tree.map(
+      _var_update, state.summed_variance, state.mean, mean, batch
+  )
+  std = jax.tree.map(
+      lambda v: jnp.sqrt(v / jnp.maximum(count, 1.0) + 1e-6),
+      summed_variance,
+  )
   return RunningStatisticsState(
       count=count, mean=mean, summed_variance=summed_variance, std=std
   )
 
 
-def normalize(
-    state: RunningStatisticsState, batch: jax.Array
-) -> jax.Array:
-  return (batch - state.mean) / state.std
+def normalize(state: RunningStatisticsState, batch: Any) -> Any:
+  return jax.tree.map(
+      lambda x, m, s: (x - m) / s, batch, state.mean, state.std
+  )
 
 
-def denormalize(
-    state: RunningStatisticsState, batch: jax.Array
-) -> jax.Array:
-  return batch * state.std + state.mean
+def denormalize(state: RunningStatisticsState, batch: Any) -> Any:
+  return jax.tree.map(
+      lambda x, m, s: x * s + m, batch, state.mean, state.std
+  )

@@ -212,3 +212,61 @@ def test_ppo_restore_roundtrip(tmp_path):
   a1, _ = make_policy(params, True)(obs, jax.random.PRNGKey(0))
   a2, _ = make_policy2(params2, True)(obs, jax.random.PRNGKey(0))
   np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-6)
+
+
+class DictPointMass(PointMass):
+  """PointMass with dict obs: policy sees 'state', critic additionally
+  sees a privileged key (asymmetric actor-critic, Go2 config shape)."""
+
+  def reset(self, rng):
+    s = super().reset(rng)
+    obs = {'state': s.obs, 'privileged_state': jnp.concatenate([s.obs, s.obs])}
+    return s.replace(obs=obs)
+
+  def step(self, state, action):
+    inner = state.replace(obs=state.obs['state'])
+    s = super().step(inner, action)
+    obs = {'state': s.obs, 'privileged_state': jnp.concatenate([s.obs, s.obs])}
+    return s.replace(obs=obs)
+
+
+def test_ppo_dict_obs_asymmetric():
+  import functools
+  from rsr_mjx_tpu.train import networks as ppo_networks
+
+  env = DictPointMass()
+  progress = []
+  network_factory = functools.partial(
+      ppo_networks.make_ppo_networks,
+      policy_hidden_layer_sizes=(32, 32),
+      value_hidden_layer_sizes=(64, 64),
+      policy_obs_key='state',
+      value_obs_key='privileged_state',
+  )
+  make_policy, params, metrics = ppo.train(
+      env,
+      num_timesteps=30_000,
+      episode_length=16,
+      num_envs=16,
+      num_eval_envs=16,
+      learning_rate=3e-3,
+      entropy_cost=1e-3,
+      discounting=0.95,
+      unroll_length=8,
+      batch_size=32,
+      num_minibatches=4,
+      num_updates_per_batch=2,
+      num_evals=3,
+      normalize_observations=True,
+      network_factory=network_factory,
+      seed=0,
+      progress_fn=lambda step, m: progress.append((step, m)),
+  )
+  first = progress[0][1]['eval/episode_reward']
+  last = progress[-1][1]['eval/episode_reward']
+  assert last > first, (first, last)
+  policy = make_policy(params, deterministic=True)
+  obs = {'state': jnp.array([0.5, -0.5]),
+         'privileged_state': jnp.zeros(4)}
+  act, _ = jax.jit(policy)(obs, jax.random.PRNGKey(0))
+  assert act.shape == (2,)
