@@ -1,0 +1,125 @@
+"""RSR pipeline tests: dataset contract, env-param tuning gradient,
+end-to-end RSR policy training smoke."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rsr_mjx_tpu import envs
+from rsr_mjx_tpu.rsr import datasets, pipeline
+
+
+def _write(path, arr):
+  np.savetxt(path, arr, delimiter=',')
+
+
+def test_dataset_loader_contract(tmp_path):
+  d = str(tmp_path)
+  n, obs_dim, act_dim = 6, 23, 5
+  rng = np.random.RandomState(0)
+  _write(os.path.join(d, 'real_obs.txt'), rng.randn(n + 1, obs_dim))
+  _write(os.path.join(d, 'real_action.txt'), rng.randn(n, act_dim))
+  _write(os.path.join(d, 'past_sim_obs.txt'), rng.randn(n + 1, obs_dim))
+  _write(os.path.join(d, 'current_sim_obs.txt'), rng.randn(n + 1, obs_dim))
+  _write(os.path.join(d, 'obs.txt'), rng.randn(n + 1, obs_dim))
+  _write(os.path.join(d, 'actions.txt'), rng.randn(n, act_dim))
+
+  out = datasets.load_rsr_datasets(d, max_transitions=50)
+  assert out[0].shape == (n, obs_dim)
+  assert out[1].shape == (n, act_dim)
+  for arr in (out[2], out[3], out[4]):
+    assert arr.shape == (n, obs_dim)
+
+  # missing file → FileNotFoundError
+  os.remove(os.path.join(d, 'actions.txt'))
+  with pytest.raises(FileNotFoundError):
+    datasets.load_rsr_datasets(d)
+  # width mismatch → ValueError
+  _write(os.path.join(d, 'actions.txt'), rng.randn(n, act_dim + 1))
+  with pytest.raises(ValueError):
+    datasets.load_rsr_datasets(d)
+
+
+def test_build_policy_rsr_data_validation():
+  rng = np.random.RandomState(1)
+  s = rng.randn(5, 4)
+  a = rng.randn(5, 2)
+  data = pipeline.build_policy_rsr_data(s, a, s + 0.1, s + 0.2, s + 0.05)
+  assert data.reference_data.shape == (5, 10)
+  with pytest.raises(ValueError):
+    pipeline.build_policy_rsr_data(s, a, s[:4] + 0.1, s + 0.2, s)
+  with pytest.raises(ValueError):
+    pipeline.build_policy_rsr_data(s[None], a, s, s, s)
+
+
+@pytest.mark.slow
+def test_env_params_tuning_reduces_loss():
+  """Tuning the cube friction against sim-generated 'real' transitions
+  must produce a finite, shrinking loss and move the parameter."""
+  env = envs.load('AirbotCubePush')
+  # generate 4 on-policy transitions from the env itself
+  state = jax.jit(env.reset)(jax.random.PRNGKey(0))
+  step = jax.jit(env.step)
+  obs_rows, act_rows = [np.asarray(state.obs)], []
+  rng = jax.random.PRNGKey(1)
+  for _ in range(4):
+    rng, sub = jax.random.split(rng)
+    act = jax.random.uniform(sub, (5,), minval=-0.5, maxval=0.5)
+    state = step(state, act)
+    act_rows.append(np.asarray(act))
+    obs_rows.append(np.asarray(state.obs))
+  obs = np.stack(obs_rows)
+
+  tuned, log = pipeline.env_params_tuning(
+      env,
+      num_steps=5,
+      init_env_params=jnp.asarray(0.4),
+      env_params_min=jnp.asarray(0.08),
+      env_params_max=jnp.asarray(4.0),
+      obs=obs[:-1],
+      actions=np.stack(act_rows),
+      next_obs_true=obs[1:],
+      log_path=None,
+  )
+  assert np.isfinite(log['loss']).all()
+  assert len(log['loss']) == 5
+  # optimizer actually moved the parameter
+  assert abs(float(np.asarray(tuned)) - 0.4) > 1e-6
+
+
+@pytest.mark.slow
+def test_rsr_policy_training_end_to_end(tmp_path):
+  """Tiny RSR PPO run on the real cube env with the penalty active."""
+  env = envs.load('AirbotCubePush')
+  rng = np.random.RandomState(3)
+  n, obs_dim, act_dim = 5, 23, 5
+  s = rng.randn(n, obs_dim)
+  a = rng.randn(n, act_dim)
+  make_inference_fn, params = pipeline.policy_params_training(
+      env=env,
+      algorithm='ppo',
+      past_states=s,
+      past_actions=a,
+      past_next_states_real=s + 0.1,
+      past_next_states_sim=s + 0.2,
+      current_next_states_sim=s + 0.05,
+      rsr_loss_scale=1.0,
+      num_timesteps=32,
+      num_evals=1,
+      episode_length=4,
+      num_envs=8,
+      batch_size=8,
+      unroll_length=2,
+      num_minibatches=2,
+      num_updates_per_batch=1,
+      num_eval_envs=8,
+      seed=0,
+  )
+  policy = make_inference_fn(params, deterministic=True)
+  state = jax.jit(env.reset)(jax.random.PRNGKey(0))
+  act, _ = jax.jit(policy)(state.obs, jax.random.PRNGKey(1))
+  assert act.shape == (5,)
+  assert np.isfinite(np.asarray(act)).all()
