@@ -23,6 +23,26 @@ from rsr_mjx_tpu.physics.types import Contact, Data, Model, StaticArr
 _MJ_MINVAL = 1e-15
 
 
+def _safe_norm(x: jax.Array, axis=-1, keepdims=False) -> jax.Array:
+  """‖x‖ with a NaN-free gradient at x = 0 (double-where trick).
+
+  A plain jnp.linalg.norm has d‖x‖/dx = x/‖x‖ → NaN at zero; zero vectors
+  occur on the differentiation path for every box-interior contact point
+  (_point_box), which poisons env_params_tuning gradients through the
+  contact solve (reference relies on the same property via MJX's safe
+  math, SURVEY §3.2)."""
+  sq = jnp.sum(x * x, axis=axis, keepdims=keepdims)
+  is_zero = sq < _MJ_MINVAL
+  return jnp.where(is_zero, 0.0, jnp.sqrt(jnp.where(is_zero, 1.0, sq)))
+
+
+def _safe_normalize(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+  """(x/‖x‖, ‖x‖) with zero output and NaN-free gradient at x = 0."""
+  norm = _safe_norm(x, keepdims=True)
+  n = x / jnp.where(norm < _MJ_MINVAL, 1.0, norm)
+  return n, jnp.squeeze(norm, -1)
+
+
 def _make_frame(n: jax.Array) -> jax.Array:
   """Orthonormal frame rows (n, t1, t2) from a unit normal."""
   # pick the axis least aligned with n
@@ -31,8 +51,7 @@ def _make_frame(n: jax.Array) -> jax.Array:
       jnp.array([1.0, 0.0, 0.0], dtype=n.dtype),
       jnp.array([0.0, 1.0, 0.0], dtype=n.dtype),
   )
-  t1 = jnp.cross(n, a)
-  t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), _MJ_MINVAL)
+  t1, _ = _safe_normalize(jnp.cross(n, a))
   t2 = jnp.cross(n, t1)
   return jnp.stack([n, t1, t2], axis=-2)
 
@@ -148,9 +167,7 @@ def _plane_box(p1, m1, s1, p2, m2, s2):
 
 
 def _sphere_sphere(p1, m1, s1, p2, m2, s2):
-  delta = p2 - p1
-  l = jnp.linalg.norm(delta)
-  n = delta / jnp.maximum(l, _MJ_MINVAL)
+  n, l = _safe_normalize(p2 - p1)
   dist = l - s1[0] - s2[0]
   pos = p1 + n * (s1[0] + 0.5 * dist)
   return dist[None], pos[None], n[None]
@@ -178,8 +195,7 @@ def _point_box(v, pb, mb, sb):
   """
   local = mb.T @ (v - pb)
   clamped = jnp.clip(local, -sb, sb)
-  outside_vec = local - clamped
-  out_d = jnp.linalg.norm(outside_vec)
+  outside_dir, out_d = _safe_normalize(local - clamped)
   inside = out_d < _MJ_MINVAL
 
   # inside: face with minimum margin
@@ -189,7 +205,7 @@ def _point_box(v, pb, mb, sb):
   outward_local = jnp.zeros(3, dtype=v.dtype).at[k].set(sgn)
   outward = mb @ outward_local
 
-  n_out = -(mb @ (outside_vec / jnp.maximum(out_d, _MJ_MINVAL)))
+  n_out = -(mb @ outside_dir)
   dist = jnp.where(inside, -margins[k], out_d)
   n = jnp.where(inside, -outward, n_out)
   return dist, n
@@ -237,9 +253,7 @@ def _segment_segment(a1, u1, h1, a2, u2, h2):
 
 def _capsule_capsule(p1, m1, s1, p2, m2, s2):
   c1, c2 = _segment_segment(p1, m1[:, 2], s1[1], p2, m2[:, 2], s2[1])
-  delta = c2 - c1
-  l = jnp.linalg.norm(delta)
-  n = delta / jnp.maximum(l, _MJ_MINVAL)
+  n, l = _safe_normalize(c2 - c1)
   dist = l - s1[0] - s2[0]
   pos = c1 + n * (s1[0] + 0.5 * dist)
   return dist[None], pos[None], n[None]

@@ -192,6 +192,7 @@ def put_model(mjm: mujoco.MjModel, dtype=jnp.float32) -> Model:
       integrator=int(mjm.opt.integrator),
       iterations=int(mjm.opt.iterations),
       ls_iterations=int(mjm.opt.ls_iterations),
+      tolerance=float(mjm.opt.tolerance),
       cone=int(mjm.opt.cone),
       impratio=float(mjm.opt.impratio),
       disableflags=int(mjm.opt.disableflags),

@@ -150,6 +150,7 @@ class Option:
   integrator: int = _static(default=IntegratorType.EULER)
   iterations: int = _static(default=8)
   ls_iterations: int = _static(default=8)
+  tolerance: float = _static(default=1e-8)
   cone: int = _static(default=ConeType.PYRAMIDAL)
   impratio: float = _static(default=1.0)
   disableflags: int = _static(default=0)
