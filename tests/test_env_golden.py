@@ -1,0 +1,56 @@
+"""Fixed-seed golden regression tests for env semantics.
+
+The reference has no test suite (SURVEY §4); these goldens pin OUR env
+semantics so future engine/env changes that silently alter trajectories
+fail loudly.  Regenerate with REGEN=1 python -m pytest tests/test_env_golden.py
+after an intentional semantic change.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rsr_mjx_tpu import envs
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), 'goldens')
+REGEN = os.environ.get('REGEN', '0') == '1'
+
+CASES = [
+    ('AirbotCubePush', 5, 3),
+    ('AirbotTPush', 5, 3),
+    ('Go2JoystickFlatTerrain', 12, 3),
+]
+
+
+def _rollout(name, act_dim, steps):
+  env = envs.load(name)
+  state = jax.jit(env.reset)(jax.random.PRNGKey(42))
+  step = jax.jit(env.step)
+  obs_trace, rew_trace = [], []
+  rng = jax.random.PRNGKey(7)
+  for _ in range(steps):
+    rng, sub = jax.random.split(rng)
+    act = jax.random.uniform(sub, (act_dim,), minval=-0.3, maxval=0.3)
+    state = step(state, act)
+    obs = state.obs['state'] if isinstance(state.obs, dict) else state.obs
+    obs_trace.append(np.asarray(obs))
+    rew_trace.append(float(state.reward))
+  return np.stack(obs_trace), np.asarray(rew_trace)
+
+
+@pytest.mark.parametrize('name,act_dim,steps', CASES,
+                         ids=[c[0] for c in CASES])
+def test_golden_trajectory(name, act_dim, steps):
+  obs, rew = _rollout(name, act_dim, steps)
+  path = os.path.join(GOLDEN_DIR, f'{name}.npz')
+  if REGEN or not os.path.exists(path):
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    np.savez(path, obs=obs, rew=rew)
+    if not REGEN:
+      pytest.skip('golden created; rerun to compare')
+  golden = np.load(path)
+  np.testing.assert_allclose(obs, golden['obs'], rtol=2e-4, atol=2e-5)
+  np.testing.assert_allclose(rew, golden['rew'], rtol=2e-4, atol=2e-5)
