@@ -56,6 +56,16 @@ def main(argv):
   )
 
   env = envs.load(FLAGS.env)
+  eval_env = None
+  if not isinstance(env.observation_size, int):
+    # dict-obs envs (Go2): feed the policy the 'state' key
+    # (reference: test/rsr_go2_policy_training.py:195-201)
+    from rsr_mjx_tpu.envs import wrappers
+
+    env = wrappers.SelectObservationWrapper(env, 'state')
+    eval_env = wrappers.SelectObservationWrapper(
+        envs.load(FLAGS.env), 'state'
+    )
   os.makedirs(FLAGS.logdir, exist_ok=True)
   ckpt_dir = os.path.join(FLAGS.logdir, 'checkpoints')
   os.makedirs(ckpt_dir, exist_ok=True)
@@ -109,6 +119,7 @@ def main(argv):
           else None
       ),
       restore_checkpoint_path=FLAGS.restore_checkpoint_path,
+      eval_env=eval_env,
       seed=FLAGS.seed,
   )
 

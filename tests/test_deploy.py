@@ -97,3 +97,27 @@ def test_control_loop_couplings_and_success():
   # cube converged → later iterations stop commanding (success branch)
   assert len(robot.commands) < 25
   assert robot.steps_completed, 'step_complete must fire on reached joints'
+
+
+def test_build_t_observation_layout():
+  from rsr_mjx_tpu.deploy.t_push import (
+      T_TARGET_BASE,
+      T_TARGET_VERT,
+      build_t_observation,
+      t_orientation_error,
+  )
+
+  joints = [0.1, -0.5, 0.4, 1.57, -1.4, 1.1]
+  end = [0.3, 0.05, 0.03]
+  # aligned with the target direction → xita == 0
+  d = (T_TARGET_VERT - T_TARGET_BASE)[:2]
+  p1 = np.array([0.30, 0.10])
+  p0 = p1 + d
+  obs = build_t_observation(joints, end, p0, p1, [0.28, 0.09])
+  assert obs.shape == (16,)
+  np.testing.assert_allclose(obs[:6], joints)
+  np.testing.assert_allclose(obs[6], 0.03 + 0.78 - 0.023)
+  assert abs(float(obs[13])) < 1e-9  # xita ~ 0 when aligned
+  # orthogonal placement → xita = |cos90 − 1| = 1
+  p0b = p1 + np.array([-d[1], d[0]])
+  assert abs(t_orientation_error(p0b, p1) - 1.0) < 1e-9
