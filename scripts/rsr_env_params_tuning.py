@@ -15,6 +15,11 @@ import json
 import os
 
 import numpy as np
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from absl import app, flags, logging
 
 FLAGS = flags.FLAGS

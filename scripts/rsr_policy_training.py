@@ -13,6 +13,11 @@ from __future__ import annotations
 import functools
 import os
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from absl import app, flags, logging
 
 FLAGS = flags.FLAGS

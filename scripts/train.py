@@ -20,6 +20,11 @@ import json
 import os
 import time
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from absl import app, flags, logging
 
 FLAGS = flags.FLAGS
