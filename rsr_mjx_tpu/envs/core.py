@@ -66,17 +66,21 @@ def init(
 ) -> Data:
   """Fresh Data with optional state overrides, forward'd (mjx_env.py:30-54)."""
   d = physics.make_data(m)
+  # Cast overrides to the Data field dtypes so the substrate is stable under
+  # ambient jax_enable_x64 (mixed-precision callers must not change carry
+  # dtypes of downstream lax.scan loops).
   if qpos is not None:
-    d = d.replace(qpos=qpos)
+    d = d.replace(qpos=jnp.asarray(qpos, d.qpos.dtype))
   if qvel is not None:
-    d = d.replace(qvel=qvel)
+    d = d.replace(qvel=jnp.asarray(qvel, d.qvel.dtype))
   if ctrl is not None:
-    d = d.replace(ctrl=ctrl)
+    d = d.replace(ctrl=jnp.asarray(ctrl, d.ctrl.dtype))
   return physics.forward(m, d)
 
 
 def step(m: Model, d: Data, ctrl: jax.Array, n_substeps: int = 1) -> Data:
   """Advance physics ``n_substeps`` with held ctrl (mjx_env.py:55-65)."""
+  ctrl = jnp.asarray(ctrl, d.ctrl.dtype)
 
   def f(d, _):
     d = physics.step(m, d.replace(ctrl=ctrl))
