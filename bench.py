@@ -23,7 +23,9 @@ def main():
   num_envs = 1024 * n_dev
   steps = 50
 
-  env_core = envs.load('AirbotCubePush')
+  # top-k active-contact selection: Newton system sees ≤32 of the scene's
+  # 240 contact slots (exact for this scene; see test_physics_contact.py).
+  env_core = envs.load('AirbotCubePush', max_contacts=32)
   from rsr_mjx_tpu.envs import wrappers
 
   env = wrappers.wrap_for_training(

@@ -52,6 +52,7 @@ class AirbotCubePush(core.Env):
       target_max_x: float | None = None,
       target_min_y: float | None = None,
       target_max_y: float | None = None,
+      max_contacts: int = 0,
   ):
     assert variant in ('rsr', 'train'), variant
     self.variant = variant
@@ -88,7 +89,12 @@ class AirbotCubePush(core.Env):
         spawn[k] = v
     self._spawn = spawn
 
-    self._model, self._mjm = physics.load_model_from_xml(xml)
+    # max_contacts > 0 enables top-k active-contact selection in the Newton
+    # solver (exact as long as k ≥ simultaneously-touching contacts; the
+    # cube scene has 240 pair slots but ≤ ~32 ever in contact).
+    self._model, self._mjm = physics.load_model_from_xml(
+        xml, max_contacts=max_contacts
+    )
     self._push_w = push_reward_weight
     self._site2box_w = siet_to_box_reward_weight
     self._healthy_w = healthy_reward
@@ -170,7 +176,7 @@ class AirbotCubePush(core.Env):
     qpos = qpos.at[self._target_qadr : self._target_qadr + 3].set(target_pos)
 
     data = core.init(m, qpos=qpos, qvel=qvel)
-    data = data.replace(ctrl=joint_ctrl)
+    data = data.replace(ctrl=jp.asarray(joint_ctrl, data.ctrl.dtype))
 
     new_cube_pos = jp.array([0.37342, -0.07989])
     reward, done, zero = jp.zeros(3)

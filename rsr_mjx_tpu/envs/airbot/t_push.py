@@ -34,8 +34,11 @@ class AirbotTPush(core.Env):
       endpoint_min_z_pos: float = 0.78,
       noise_scale: float = 1e-2,
       decimation: int = 4,
+      max_contacts: int = 0,
   ):
-    self._model, self._mjm = physics.load_model_from_xml(build_tshape_scene())
+    self._model, self._mjm = physics.load_model_from_xml(
+        build_tshape_scene(), max_contacts=max_contacts
+    )
     self._push_w = push_reward_weight
     self._site2box_w = siet_to_box_reward_weight
     self._healthy_w = healthy_reward
@@ -98,7 +101,7 @@ class AirbotTPush(core.Env):
     ) + jax.random.uniform(rng3, (m.nu,), minval=low, maxval=hi)
 
     data = core.init(m, qpos=qpos, qvel=qvel)
-    data = data.replace(ctrl=joint_ctrl)
+    data = data.replace(ctrl=jp.asarray(joint_ctrl, data.ctrl.dtype))
 
     new_T_pos = jp.array([0.24739072, -0.00496255])
     reward, done, zero = jp.zeros(3)

@@ -80,7 +80,11 @@ def init(
 
 def step(m: Model, d: Data, ctrl: jax.Array, n_substeps: int = 1) -> Data:
   """Advance physics ``n_substeps`` with held ctrl (mjx_env.py:55-65)."""
-  ctrl = jnp.asarray(ctrl, d.ctrl.dtype)
+  # Cast to the physics dtype (d.qpos), not d.ctrl: callers may have stored
+  # a wider ctrl on Data directly, and the scan carry must stay stable.
+  ctrl = jnp.asarray(ctrl, d.qpos.dtype)
+  if d.ctrl.dtype != d.qpos.dtype:
+    d = d.replace(ctrl=jnp.asarray(d.ctrl, d.qpos.dtype))
 
   def f(d, _):
     d = physics.step(m, d.replace(ctrl=ctrl))

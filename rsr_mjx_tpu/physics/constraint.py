@@ -75,7 +75,12 @@ def layout(m: Model) -> EfcLayout:
       raise NotImplementedError(f'equality type {t}')
   n_fri = m.nv  # one potential friction-loss row per dof (zero-bound inert)
   n_lim = 2 * int(np.sum(m.jnt_limited.arr != 0))
-  n_con = sum(_contact_rows(cd) for cd in contact_condims(m))
+  condims = contact_condims(m)
+  nsel = _selection_size(m)
+  if nsel:
+    n_con = _contact_rows(condims[0]) * nsel
+  else:
+    n_con = sum(_contact_rows(cd) for cd in condims)
   kind = np.concatenate(
       [
           np.full(n_eq, EQUALITY),
@@ -94,6 +99,19 @@ def count_rows(m: Model) -> int:
 _LAYOUT_CACHE: dict = {}
 
 
+def _selection_size(m: Model) -> int:
+  """Effective top-k contact selection size (0 = disabled)."""
+  nsel = getattr(m, 'ncon_sel', 0) or 0
+  if nsel <= 0 or nsel >= m.ncon:
+    return 0
+  condims = set(contact_condims(m))
+  if len(condims) > 1:
+    raise NotImplementedError(
+        'ncon_sel requires uniform contact condim; got %s' % sorted(condims)
+    )
+  return nsel
+
+
 def layout_cached(m: Model) -> EfcLayout:
   key = (
       m.neq,
@@ -101,6 +119,7 @@ def layout_cached(m: Model) -> EfcLayout:
       m.jnt_limited,
       tuple((n, t) for n, t in m.pairs),
       m.ncon,
+      getattr(m, 'ncon_sel', 0),
   )
   if key not in _LAYOUT_CACHE:
     _LAYOUT_CACHE[key] = layout(m)
@@ -273,45 +292,71 @@ def _assemble(m: Model, d: Data) -> Efc:
     g2 = con.geom2.arr
     b1 = m.geom_bodyid.arr[g1]
     b2 = m.geom_bodyid.arr[g2]
-    # translational jacobian of contact point on each body: (ncon, nv, 3)
+    dmask_all = jnp.asarray(
+        m.anc_mask.arr[b2] - m.anc_mask.arr[b1], dtype=dtype
+    )
+    invweight_all = m.body_invweight0[b1][:, 0] + m.body_invweight0[b2][:, 0]
+
+    nsel = _selection_size(m)
+    if nsel:
+      # active-set selection: solve only the nsel nearest contact slots.
+      # Separated slots have ~zero impedance, so dropping all but the k
+      # nearest preserves the dynamics as long as nsel ≥ #active contacts.
+      # Static per-slot tables are gathered with the traced indices.
+      _, sel_idx = jax.lax.top_k(-con.dist, nsel)
+      c_dist = con.dist[sel_idx]
+      c_pos = con.pos[sel_idx]
+      c_frame = con.frame[sel_idx]
+      c_friction = con.friction[sel_idx]
+      c_solref = con.solref[sel_idx]
+      c_solimp = con.solimp[sel_idx]
+      dmask = dmask_all[sel_idx]
+      invweight = invweight_all[sel_idx]
+      groups = [(int(con.condim.arr[0]), slice(None))]
+    else:
+      c_dist, c_pos, c_frame = con.dist, con.pos, con.frame
+      c_friction, c_solref, c_solimp = con.friction, con.solref, con.solimp
+      dmask, invweight = dmask_all, invweight_all
+      condim_arr = con.condim.arr
+      groups = [
+          (cd, np.nonzero(condim_arr == cd)[0])
+          for cd in sorted(set(int(x) for x in condim_arr))
+      ]
+
+    # translational jacobian of contact point on each body: (nc, nv, 3)
     ang = d.cdof[:, :3]
     lin = d.cdof[:, 3:]
-    rel = con.pos[:, None, :] - d.cdof_anchor[None, :, :]
+    rel = c_pos[:, None, :] - d.cdof_anchor[None, :, :]
     jac_t = lin[None] + jnp.cross(
         jnp.broadcast_to(ang[None], rel.shape), rel
     )
-    dmask = jnp.asarray(m.anc_mask.arr[b2] - m.anc_mask.arr[b1], dtype=dtype)
     jac_p = jac_t * dmask[:, :, None]  # relative: body2 − body1
     jac_r = ang[None] * dmask[:, :, None]
 
-    invweight = m.body_invweight0[b1][:, 0] + m.body_invweight0[b2][:, 0]
-
-    n = con.frame[:, 0]
+    n = c_frame[:, 0]
     Jn = jnp.einsum('cvk,ck->cv', jac_p, n)
-    condim_arr = con.condim.arr
-    for cd in sorted(set(int(x) for x in condim_arr)):
-      sel = np.nonzero(condim_arr == cd)[0]
-      k = len(sel)
+    for cd, sel in groups:
+      k = nsel if isinstance(sel, slice) else len(sel)
       if cd == 1:
         J_parts.append(Jn[sel])
-        pos_parts.append(con.dist[sel])
-        solref_parts.append(con.solref[sel])
-        solimp_parts.append(con.solimp[sel])
+        pos_parts.append(c_dist[sel])
+        solref_parts.append(c_solref[sel])
+        solimp_parts.append(c_solimp[sel])
         diagA_parts.append(invweight[sel])
         floss_parts.append(jnp.zeros(k, dtype=dtype))
         margin_parts.append(jnp.zeros(k, dtype=dtype))
         continue
       # friction axes: t1, t2, torsion, roll1, roll2 (first cd−1 used)
       axes = [
-          jnp.einsum('cvk,ck->cv', jac_p[sel], con.frame[sel, 1]),
-          jnp.einsum('cvk,ck->cv', jac_p[sel], con.frame[sel, 2]),
+          jnp.einsum('cvk,ck->cv', jac_p[sel], c_frame[sel, 1]),
+          jnp.einsum('cvk,ck->cv', jac_p[sel], c_frame[sel, 2]),
           jnp.einsum('cvk,ck->cv', jac_r[sel], n[sel]),
-          jnp.einsum('cvk,ck->cv', jac_r[sel], con.frame[sel, 1]),
-          jnp.einsum('cvk,ck->cv', jac_r[sel], con.frame[sel, 2]),
+          jnp.einsum('cvk,ck->cv', jac_r[sel], c_frame[sel, 1]),
+          jnp.einsum('cvk,ck->cv', jac_r[sel], c_frame[sel, 2]),
       ]
       nf = cd - 1
       axes = jnp.stack(axes[:nf], axis=1)  # (k, nf, nv)
-      mus = con.friction[sel, :nf]  # (k, nf)
+      mus = c_friction[sel, :nf]  # (k, nf)
       # rows: Jn ± mu_i * axis_i  → (k, nf, 2, nv) → (k·nf·2, nv)
       pm = jnp.array([1.0, -1.0], dtype=dtype)
       rows = (
@@ -319,7 +364,7 @@ def _assemble(m: Model, d: Data) -> Efc:
           + pm[None, None, :, None] * (mus[..., None] * axes)[:, :, None, :]
       ).reshape(k * nf * 2, nv)
       nrep = nf * 2
-      mu0 = con.friction[sel, 0]
+      mu0 = c_friction[sel, 0]
       diagA_c = jnp.repeat(
           invweight[sel]
           * 2.0
@@ -328,9 +373,9 @@ def _assemble(m: Model, d: Data) -> Efc:
           nrep,
       )
       J_parts.append(rows)
-      pos_parts.append(jnp.repeat(con.dist[sel], nrep))
-      solref_parts.append(jnp.repeat(con.solref[sel], nrep, axis=0))
-      solimp_parts.append(jnp.repeat(con.solimp[sel], nrep, axis=0))
+      pos_parts.append(jnp.repeat(c_dist[sel], nrep))
+      solref_parts.append(jnp.repeat(c_solref[sel], nrep, axis=0))
+      solimp_parts.append(jnp.repeat(c_solimp[sel], nrep, axis=0))
       diagA_parts.append(diagA_c)
       floss_parts.append(jnp.zeros(k * nrep, dtype=dtype))
       margin_parts.append(jnp.zeros(k * nrep, dtype=dtype))

@@ -311,12 +311,23 @@ def name2id(m: Model, kind: str, name: str) -> int:
   return table[name]
 
 
-def load_model_from_xml(xml: str, dtype=jnp.float32):
-  """Compile MJCF string via C MuJoCo and convert. Returns (Model, MjModel)."""
+def load_model_from_xml(xml: str, dtype=jnp.float32, max_contacts: int = 0):
+  """Compile MJCF string via C MuJoCo and convert. Returns (Model, MjModel).
+
+  ``max_contacts`` > 0 enables top-k active-contact selection in the
+  constraint assembly (Model.ncon_sel) — the solver then sees at most that
+  many contact points per step instead of every potential pair slot.
+  """
   mjm = mujoco.MjModel.from_xml_string(xml)
-  return put_model(mjm, dtype=dtype), mjm
+  m = put_model(mjm, dtype=dtype)
+  if max_contacts:
+    m = m.replace(ncon_sel=int(max_contacts))
+  return m, mjm
 
 
-def load_model_from_path(path: str, dtype=jnp.float32):
+def load_model_from_path(path: str, dtype=jnp.float32, max_contacts: int = 0):
   mjm = mujoco.MjModel.from_xml_path(path)
-  return put_model(mjm, dtype=dtype), mjm
+  m = put_model(mjm, dtype=dtype)
+  if max_contacts:
+    m = m.replace(ncon_sel=int(max_contacts))
+  return m, mjm

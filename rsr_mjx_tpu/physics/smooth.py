@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from rsr_mjx_tpu.physics import lie
 from rsr_mjx_tpu.physics.types import (
@@ -265,7 +266,7 @@ def actuation(m: Model, d: Data) -> Data:
     for ji in range(m.njnt):
       if jl[ji]:
         vadr = int(m.jnt_dofadr[ji])
-        lo, hi = m.jnt_actfrcrange[ji]
+        lo, hi = np.asarray(m.jnt_actfrcrange[ji], qfrc.dtype)
         qfrc = qfrc.at[vadr].set(jnp.clip(qfrc[vadr], lo, hi))
   return d.replace(qfrc_actuator=qfrc, actuator_force=force)
 

@@ -288,6 +288,14 @@ class Model:
   pairs: CollisionPairs = _static(default=None)
   # total number of contact points (static) and layout bookkeeping
   ncon: int = _static(default=0)
+  # active-contact selection: if > 0 and < ncon, the constraint assembly
+  # solves only the ncon_sel nearest contact slots (top-k by dist).  The
+  # full Contact set stays available on Data for queries/sensors.  Cuts the
+  # Newton system from O(ncon) to O(ncon_sel) rows — the dominant cost for
+  # scenes whose pair table is much larger than the simultaneously-active
+  # contact count (Airbot: 240 slots, ≤ ~40 active).  Requires uniform
+  # condim across contact pairs.
+  ncon_sel: int = _static(default=0)
   # name lookup tables (python dicts; static)
   names: Any = _static(default=None)
 

@@ -133,3 +133,31 @@ def test_contact_forces_exposed():
     d = step(m, d)
   total_normal = float(np.asarray(d.efc_force).sum())
   assert total_normal > 0.0
+
+
+def test_topk_contact_selection_parity():
+  """max_contacts (Model.ncon_sel) top-k selection matches the full
+  assembly as long as k ≥ number of simultaneously-active contacts.
+
+  Uses the Airbot cube scene (240 pair slots, ≤ ~32 active) — the workload
+  the feature targets."""
+  from rsr_mjx_tpu.envs.airbot.scene import build_cube_scene
+
+  xml = build_cube_scene()
+  m_full, _ = physics.load_model_from_xml(xml)
+  m_sel, _ = physics.load_model_from_xml(xml, max_contacts=32)
+  assert m_sel.ncon_sel == 32 and m_full.ncon == m_sel.ncon
+
+  d0 = physics.make_data(m_full)
+  step_full = jax.jit(lambda d: physics.step(m_full, d))
+  step_sel = jax.jit(lambda d: physics.step(m_sel, d))
+  df, ds = d0, d0
+  for _ in range(50):
+    df = step_full(df)
+    ds = step_sel(ds)
+  np.testing.assert_allclose(
+      np.asarray(df.qpos), np.asarray(ds.qpos), atol=1e-4
+  )
+  np.testing.assert_allclose(
+      np.asarray(df.qvel), np.asarray(ds.qvel), atol=1e-3
+  )
