@@ -34,8 +34,11 @@ class EpisodeWrapper(Wrapper):
 
   def reset(self, rng: jax.Array) -> State:
     state = self.env.reset(rng)
-    state.info['steps'] = jnp.zeros(rng.shape[:-1])
-    state.info['truncation'] = jnp.zeros(rng.shape[:-1])
+    # counters take the env's reward dtype so reset-state and step-state
+    # carries agree under ambient jax_enable_x64 (where a bare jnp.zeros
+    # would be f64 while step outputs stay f32)
+    state.info['steps'] = jnp.zeros(rng.shape[:-1], state.reward.dtype)
+    state.info['truncation'] = jnp.zeros(rng.shape[:-1], state.reward.dtype)
     return state
 
   def step(self, state: State, action: jax.Array) -> State:
@@ -192,6 +195,38 @@ class StrongTypeWrapper(Wrapper):
     return _strongtype(self.env.step(state, action))
 
 
+class CanonicalDtypeWrapper(Wrapper):
+  """Pins every float leaf of reset/step outputs to the physics dtype.
+
+  Under ambient ``jax_enable_x64`` an env's reset can mint f64 leaves
+  (``jax.random.uniform`` defaults to f64) while its step math stays f32 —
+  which kills downstream ``lax.scan`` carries (EpisodeWrapper's
+  action-repeat scan, rollout scans) with carry-dtype mismatches.  Applied
+  innermost, this makes the whole wrapper stack dtype-stable regardless of
+  the ambient x64 setting.  The casts are no-ops when dtypes already match.
+  """
+
+  def __init__(self, env: Env):
+    super().__init__(env)
+    self._dtype = jnp.asarray(env.model.qpos0).dtype
+
+  def _pin(self, tree):
+    def cast(x):
+      if not isinstance(x, jax.Array):
+        return x
+      if jnp.issubdtype(x.dtype, jnp.floating):
+        return x.astype(self._dtype)
+      return x.astype(x.dtype)  # clear weak types on non-float leaves
+
+    return jax.tree.map(cast, tree)
+
+  def reset(self, rng: jax.Array) -> State:
+    return self._pin(self.env.reset(rng))
+
+  def step(self, state: State, action: jax.Array) -> State:
+    return self._pin(self.env.step(state, action))
+
+
 class EvalMetrics:
   """Episode-accumulated metrics pytree (brax EvalMetrics semantics)."""
 
@@ -261,6 +296,9 @@ def wrap_for_training(
     env = VmapWrapper(env, batch_size=num_envs)
   else:
     env = DomainRandomizationVmapWrapper(env, randomization_fn)
+  # pin dtypes above the vmap layer (below the Episode scan) so reset- and
+  # step-state carries agree under ambient jax_enable_x64
+  env = CanonicalDtypeWrapper(env)
   env = EpisodeWrapper(env, episode_length, action_repeat)
   env = AutoResetWrapper(env)
   env = StrongTypeWrapper(env)
