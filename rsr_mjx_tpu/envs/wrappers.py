@@ -208,7 +208,12 @@ class CanonicalDtypeWrapper(Wrapper):
 
   def __init__(self, env: Env):
     super().__init__(env)
-    self._dtype = jnp.asarray(env.model.qpos0).dtype
+    model = env.model
+    if model is not None and getattr(model, 'qpos0', None) is not None:
+      self._dtype = jnp.asarray(model.qpos0).dtype
+    else:
+      # model-free envs (toy/test envs): pin to the default float dtype
+      self._dtype = jnp.zeros((), dtype=float).dtype
 
   def _pin(self, tree):
     def cast(x):

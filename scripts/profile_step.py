@@ -30,10 +30,15 @@ def bench(name, fn, *args, n=20):
 def main():
   num_envs = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
 
+  import importlib
+
   from rsr_mjx_tpu import envs
   from rsr_mjx_tpu.physics import collision as _collision
   from rsr_mjx_tpu.physics import constraint as _constraint
-  from rsr_mjx_tpu.physics import forward as _forward
+
+  # the package re-exports the forward() function under the same name as
+  # the module, so import the module explicitly
+  _forward = importlib.import_module('rsr_mjx_tpu.physics.forward')
   from rsr_mjx_tpu.physics import kinematics as _kin
   from rsr_mjx_tpu.physics import smooth as _smooth
   from rsr_mjx_tpu.physics import solver as _solver
