@@ -148,7 +148,9 @@ def _implicit_qacc(m: Model, d: Data) -> jax.Array:
     # zero the rows where force is clamped? (approximation: keep)
     D = D - moment.T @ (dgain[:, None] * moment)
   MhD = d.qM + h * D
-  return jax.scipy.linalg.solve(MhD, qfrc, assume_a='pos')
+  from rsr_mjx_tpu.physics import linalg_kernels as _lk
+
+  return _lk.spd_solve(MhD, qfrc)
 
 
 def integrate(m: Model, d: Data) -> Data:

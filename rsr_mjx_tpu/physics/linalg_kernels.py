@@ -1,0 +1,413 @@
+"""Pallas TPU kernels for the batched small linear algebra of the physics
+step (reference role: the XLA kernels MJX leans on for its solver,
+SURVEY §2.9 / §7 step 8).
+
+Why these exist: the physics hot loop is thousands of *tiny* (nv≈20)
+per-env dense problems.  XLA's builtin ``cholesky``/``cho_solve`` lower to
+blocked LAPACK-style loops that serialize terribly for batched tiny
+matrices (measured 9.4 ms per solve at B=4096 on v5e — scripts/
+microbench_chol.py), and every elementwise pass over the (B, nefc, nv)
+Jacobian re-reads ~19 MB from HBM.  The kernels here put the **batch in
+the 128-lane dimension** so each Cholesky column update is one VPU op over
+all envs, and the Newton kernel keeps J resident in VMEM across all solver
+iterations — one HBM read per substep instead of ~a dozen.
+
+Layout convention: arrays arrive batch-major ``(B, ...)`` from the vmapped
+pipeline and are transposed here to batch-minor ``(..., B)`` so B maps to
+lanes.  All kernels are f32 and shape-static.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# batch lanes per grid block
+_BE = 128
+_BIG = jnp.float32(1e30)
+
+# force interpreter-mode kernels (CPU correctness tests)
+_INTERPRET = os.environ.get('RSR_PALLAS_INTERPRET', '0') == '1'
+
+
+def _round_up(x: int, m: int) -> int:
+  return -(-x // m) * m
+
+
+# ---------------------------------------------------------------------------
+# In-kernel batched Cholesky + solve (batch in lanes).
+#
+# H: (n, n, E) — H[a, b, e] is entry (a, b) of env e's SPD matrix.  The
+# factorization is the right-looking outer-product form: each column j is
+# one rsqrt + one rank-1 update of the trailing submatrix, every op
+# covering all E lanes at once.  n is static and tiny (≤ ~32) so the loop
+# unrolls at trace time.
+# ---------------------------------------------------------------------------
+
+
+def _row_iota(n: int, dtype=jnp.int32):
+  """(n, 1) row-index iota (Pallas kernels may not capture array
+  constants, so masks are derived from iota ops instead)."""
+  return jax.lax.broadcasted_iota(dtype, (n, 1), 0)
+
+
+def _chol_cols(H, n: int, eps: float):
+  """Returns (cols, djs): cols[j] is column j of L as (n, E) (zeros above
+  the diagonal), djs[j] = L[j, j] as (1, E)."""
+  dtype = H.dtype
+  iota = _row_iota(n)
+  S = H
+  cols, djs = [], []
+  for j in range(n):
+    mask_ge = (iota >= j).astype(dtype)
+    Sj = S[j]  # (n, E)
+    dj2 = jnp.maximum(Sj[j : j + 1], eps)  # (1, E)
+    inv = jax.lax.rsqrt(dj2)
+    cols.append(Sj * inv * mask_ge)
+    djs.append(dj2 * inv)
+    if j < n - 1:
+      c = cols[j]
+      S = S - c[None, :, :] * c[:, None, :]
+  return cols, djs
+
+
+def _cho_solve_cols(cols, djs, b, n: int):
+  """Solve L Lᵀ x = b given the column factor; b, x: (n, E)."""
+  iota = _row_iota(n)
+  g = b
+  ys = []
+  for j in range(n):
+    yj = g[j : j + 1] / djs[j]  # (1, E)
+    ys.append(yj)
+    g = g - cols[j] * yj
+  x = jnp.zeros_like(b)
+  for j in range(n - 1, -1, -1):
+    onehot = (iota == j).astype(b.dtype)
+    t = jnp.sum(cols[j] * x, axis=0, keepdims=True)  # (1, E)
+    x = x + onehot * ((ys[j] - t) / djs[j])
+  return x
+
+
+# ---------------------------------------------------------------------------
+# Batched SPD solve: x = A⁻¹ b for (B, n, n) SPD A.
+# Used for qacc_smooth (M⁻¹ f) and the implicit-integrator solve.
+# ---------------------------------------------------------------------------
+
+
+def _spd_kernel(n: int, eps: float, A_ref, b_ref, x_ref):
+  cols, djs = _chol_cols(A_ref[...], n, eps)
+  x_ref[...] = _cho_solve_cols(cols, djs, b_ref[...], n)
+
+
+def spd_solve_batched(A: jax.Array, b: jax.Array, eps: float = 1e-12):
+  """Batched SPD solve on TPU; A (B, n, n), b (B, n) → (B, n), all f32."""
+  B, n = b.shape
+  Bp = _round_up(max(B, 1), _BE)
+  At = jnp.transpose(A, (1, 2, 0))  # (n, n, B)
+  bt = jnp.transpose(b, (1, 0))
+  if Bp != B:
+    # pad with identity systems so the Cholesky stays well-posed
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype)[:, :, None],
+                           (n, n, Bp - B))
+    At = jnp.concatenate([At, eye], axis=-1)
+    bt = jnp.concatenate([bt, jnp.zeros((n, Bp - B), b.dtype)], axis=-1)
+
+  xt = pl.pallas_call(
+      functools.partial(_spd_kernel, n, eps),
+      out_shape=jax.ShapeDtypeStruct((n, Bp), b.dtype),
+      grid=(Bp // _BE,),
+      in_specs=[
+          pl.BlockSpec((n, n, _BE), lambda i: (0, 0, i),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((n, _BE), lambda i: (0, i), memory_space=pltpu.VMEM),
+      ],
+      out_specs=pl.BlockSpec((n, _BE), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+      interpret=_INTERPRET,
+  )(At, bt)
+  return jnp.transpose(xt[:, :B], (1, 0))
+
+
+def _use_tpu_kernels() -> bool:
+  return _INTERPRET or jax.default_backend() == 'tpu'
+
+
+@jax.custom_vjp
+def spd_solve(A: jax.Array, b: jax.Array) -> jax.Array:
+  """x = A⁻¹ b for SPD A — single system (n, n), (n,) → (n,).
+
+  Under ``jax.vmap`` this dispatches to the Pallas lanes-batched kernel on
+  TPU (custom_vmap rule); the unbatched / non-TPU path is XLA Cholesky.
+  Gradients: one extra solve with the same A (A symmetric).
+  """
+  return _spd_primal(A, b)
+
+
+from jax.custom_batching import custom_vmap  # noqa: E402
+
+
+@custom_vmap
+def _spd_primal(A, b):
+  chol = jax.scipy.linalg.cholesky(A, lower=True)
+  return jax.scipy.linalg.cho_solve((chol, True), b)
+
+
+@_spd_primal.def_vmap
+def _spd_primal_vmap(axis_size, in_batched, A, b):
+  del axis_size
+  if (
+      _use_tpu_kernels()
+      and A.dtype == jnp.float32
+      and A.ndim == 3
+      and all(in_batched)
+  ):
+    out = spd_solve_batched(A, b)
+  else:
+    out = jax.vmap(
+        lambda A, b: jax.scipy.linalg.cho_solve(
+            (jax.scipy.linalg.cholesky(A, lower=True), True), b
+        )
+    )(A, b)
+  return out, True
+
+
+def _spd_fwd(A, b):
+  x = _spd_primal(A, b)
+  return x, (A, x)
+
+
+def _spd_bwd(res, g):
+  A, x = res
+  w = _spd_primal(A, g)  # A symmetric ⇒ A⁻ᵀ g = A⁻¹ g
+  return (-w[..., :, None] * x[..., None, :], w)
+
+
+spd_solve.defvjp(_spd_fwd, _spd_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused Newton solver kernel.
+#
+# Solves  min_x ½(x−a0)ᵀM(x−a0) + Σᵢ sᵢ(Jᵢx − arefᵢ)  for a whole batch,
+# with the MuJoCo soft-constraint penalties (see physics/solver.py).  The
+# entire fixed-iteration Newton loop — residual, penalty derivatives,
+# Hessian assembly, Cholesky, line search — runs on one VMEM-resident copy
+# of J per block.  Static per-model row-kind masks are baked in as
+# constants.
+#
+# Layouts inside the kernel (E = 128 batch lanes):
+#   J     (nv, R, E)   — J[a] is a free leading-index view (R, E)
+#   M     (nv, nv, E)
+#   vecs  (nv, E) / rows (R, E)
+# ---------------------------------------------------------------------------
+
+
+def _penalty_se(r, D, floss, onesided_m, fric_m):
+  """(ŝ', ŝ'') of the piecewise penalties, all (R, E)."""
+  grad_q = D * r
+  # active = r < 0 for one-sided rows, always for two-sided (pure boolean
+  # algebra — Mosaic cannot lower a select between a bool vector and a
+  # python-scalar bool)
+  active = (r < 0) | (onesided_m <= 0)
+  lim = jnp.where(fric_m > 0, floss, 1e30)
+  in_quad = jnp.abs(grad_q) <= lim
+  s_grad = jnp.where(in_quad, grad_q, jnp.sign(r) * lim)
+  s_curv = jnp.where(in_quad, D, 0.0)
+  s_grad = jnp.where(active, s_grad, 0.0)
+  s_curv = jnp.where(active, s_curv, 0.0)
+  inert = (fric_m > 0) & (floss <= 0)
+  s_grad = jnp.where(inert, 0.0, s_grad)
+  s_curv = jnp.where(inert, 0.0, s_curv)
+  return s_grad, s_curv
+
+
+def _newton_kernel(
+    nv: int,
+    R: int,
+    iters: int,
+    ls_iters: int,
+    M_ref,
+    a0_ref,
+    x0_ref,
+    J_ref,
+    aref_ref,
+    D_ref,
+    fl_ref,
+    ones_ref,
+    fric_ref,
+    x_out,
+    f_out,
+    qf_out,
+):
+  dtype = M_ref.dtype
+  J = J_ref[...]  # (nv, R, E)
+  aref = aref_ref[...]  # (R, E)
+  Dv = D_ref[...]
+  fl = fl_ref[...]
+  M = M_ref[...]  # (nv, nv, E)
+  a0 = a0_ref[...]  # (nv, E)
+  x = x0_ref[...]
+
+  ones_m = ones_ref[...][:, :1]  # (R, 1) row-kind masks, grid-invariant
+  fric_m = fric_ref[...][:, :1]
+  ri = jax.lax.broadcasted_iota(jnp.int32, (nv, nv, 1), 0)
+  ci = jax.lax.broadcasted_iota(jnp.int32, (nv, nv, 1), 1)
+  eye = (ri == ci).astype(dtype)
+
+  def matvec_J(v):  # (nv, E) -> (R, E)
+    return jnp.sum(J * v[:, None, :], axis=0)
+
+  def matvec_Jt(s):  # (R, E) -> (nv, E)
+    return jnp.sum(J * s[None, :, :], axis=1)
+
+  def matvec_M(v):  # (nv, E) -> (nv, E)
+    return jnp.sum(M * v[None, :, :], axis=1)
+
+  for _ in range(iters):
+    r = matvec_J(x) - aref
+    s_grad, s_curv = _penalty_se(r, Dv, fl, ones_m, fric_m)
+    xa = x - a0
+    grad = matvec_M(xa) + matvec_Jt(s_grad)
+
+    # H = M + Jᵀ diag(s_curv) J, assembled column-block by column-block
+    P = J * s_curv[None, :, :]  # (nv, R, E)
+    H = jnp.stack(
+        [jnp.sum(J[a][None, :, :] * P, axis=1) for a in range(nv)], axis=0
+    )
+    H = H + M + eye * 1e-9
+
+    cols, djs = _chol_cols(H, nv, 1e-12)
+    dx = -_cho_solve_cols(cols, djs, grad, nv)
+
+    # 1-D Newton line search on the piecewise-quadratic φ(t)
+    mdx = matvec_M(dx)
+    jdx = matvec_J(dx)
+    g0 = jnp.sum(xa * mdx, axis=0, keepdims=True)  # (1, E)
+    h0 = jnp.sum(dx * mdx, axis=0, keepdims=True)
+    t = jnp.ones_like(g0)
+    for _ in range(ls_iters):
+      rt = r + t * jdx
+      sg, sc = _penalty_se(rt, Dv, fl, ones_m, fric_m)
+      dphi = g0 + t * h0 + jnp.sum(sg * jdx, axis=0, keepdims=True)
+      ddphi = h0 + jnp.sum(sc * jdx * jdx, axis=0, keepdims=True)
+      t = jnp.clip(t - dphi / jnp.maximum(ddphi, 1e-12), 0.0, 4.0)
+    x = x + t * dx
+
+  r = matvec_J(x) - aref
+  s_grad, _ = _penalty_se(r, Dv, fl, ones_m, fric_m)
+  force = -s_grad
+  x_out[...] = x
+  f_out[...] = force
+  qf_out[...] = matvec_Jt(force)
+
+
+def newton_solve_batched(
+    kind: np.ndarray,
+    iterations: int,
+    ls_iterations: int,
+    M: jax.Array,
+    a0: jax.Array,
+    x0: jax.Array,
+    J: jax.Array,
+    aref: jax.Array,
+    D: jax.Array,
+    floss: jax.Array,
+):
+  """Batched fused Newton solve on TPU.
+
+  Args are batch-major: M (B, nv, nv), a0/x0 (B, nv), J (B, R0, nv),
+  aref/D/floss (B, R0); ``kind`` is the static (R0,) row-kind vector.
+  Returns (x, force, qfrc_constraint) batch-major.
+  """
+  from rsr_mjx_tpu.physics import constraint as _constraint
+
+  B, R0, nv = J.shape
+  R = _round_up(max(R0, 8), 8)
+  Bp = _round_up(max(B, 1), _BE)
+
+  onesided = (kind == _constraint.LIMIT) | (kind == _constraint.CONTACT)
+  fric = kind == _constraint.FRICTION
+  if R != R0:  # padded rows: friction kind with floss=0 ⇒ inert
+    pad = R - R0
+    onesided = np.concatenate([onesided, np.zeros(pad, bool)])
+    fric = np.concatenate([fric, np.ones(pad, bool)])
+
+  Jt = jnp.transpose(J, (2, 1, 0))  # (nv, R0, B)
+  Mt = jnp.transpose(M, (1, 2, 0))
+  a0t = jnp.transpose(a0, (1, 0))
+  x0t = jnp.transpose(x0, (1, 0))
+  areft = jnp.transpose(aref, (1, 0))
+  Dt = jnp.transpose(D, (1, 0))
+  flt = jnp.transpose(floss, (1, 0))
+
+  if R != R0:
+    zrow = lambda a: jnp.concatenate(
+        [a, jnp.zeros((R - R0,) + a.shape[1:], a.dtype)], axis=0
+    )
+    areft, Dt, flt = zrow(areft), zrow(Dt), zrow(flt)
+    Jt = jnp.concatenate(
+        [Jt, jnp.zeros((nv, R - R0, B), Jt.dtype)], axis=1
+    )
+  if Bp != B:
+    pad = Bp - B
+    eye = jnp.broadcast_to(
+        jnp.eye(nv, dtype=M.dtype)[:, :, None], (nv, nv, pad)
+    )
+    Mt = jnp.concatenate([Mt, eye], axis=-1)
+    zlane = lambda a: jnp.concatenate(
+        [a, jnp.zeros(a.shape[:-1] + (pad,), a.dtype)], axis=-1
+    )
+    Jt, a0t, x0t, areft, Dt, flt = (
+        zlane(Jt), zlane(a0t), zlane(x0t), zlane(areft), zlane(Dt), zlane(flt)
+    )
+
+  kernel = functools.partial(
+      _newton_kernel, nv, R, iterations, ls_iterations
+  )
+  ones_in = jnp.broadcast_to(
+      jnp.asarray(onesided.astype(np.float32))[:, None], (R, _BE)
+  )
+  fric_in = jnp.broadcast_to(
+      jnp.asarray(fric.astype(np.float32))[:, None], (R, _BE)
+  )
+  vec_spec = pl.BlockSpec((nv, _BE), lambda i: (0, i),
+                          memory_space=pltpu.VMEM)
+  row_spec = pl.BlockSpec((R, _BE), lambda i: (0, i),
+                          memory_space=pltpu.VMEM)
+  mask_spec = pl.BlockSpec((R, _BE), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+  xt, ft, qft = pl.pallas_call(
+      kernel,
+      out_shape=(
+          jax.ShapeDtypeStruct((nv, Bp), M.dtype),
+          jax.ShapeDtypeStruct((R, Bp), M.dtype),
+          jax.ShapeDtypeStruct((nv, Bp), M.dtype),
+      ),
+      grid=(Bp // _BE,),
+      in_specs=[
+          pl.BlockSpec((nv, nv, _BE), lambda i: (0, 0, i),
+                       memory_space=pltpu.VMEM),
+          vec_spec,
+          vec_spec,
+          pl.BlockSpec((nv, R, _BE), lambda i: (0, 0, i),
+                       memory_space=pltpu.VMEM),
+          row_spec,
+          row_spec,
+          row_spec,
+          mask_spec,
+          mask_spec,
+      ],
+      out_specs=(vec_spec, row_spec, vec_spec),
+      interpret=_INTERPRET,
+  )(Mt, a0t, x0t, Jt, areft, Dt, flt, ones_in, fric_in)
+
+  x = jnp.transpose(xt[:, :B], (1, 0))
+  force = jnp.transpose(ft[:R0, :B], (1, 0))
+  qfrc = jnp.transpose(qft[:, :B], (1, 0))
+  return x, force, qfrc

