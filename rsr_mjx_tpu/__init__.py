@@ -7,3 +7,19 @@ the RSR sim-real distribution-matching core — all jit/vmap/shard_map-first.
 """
 
 __version__ = '0.1.0'
+
+# Honor JAX_PLATFORMS=cpu even when a site hook (e.g. a remote-TPU
+# tunnel's sitecustomize) imported jax before this process saw the
+# variable — the env-var is only read at jax-import time, so re-apply it
+# to the live config.  Only the 'cpu' case is handled: it is always
+# available and it is the one tests/verification need (SKILL.md gotchas).
+import os as _os
+
+if _os.environ.get('JAX_PLATFORMS') == 'cpu':
+  import jax as _jax
+
+  try:
+    _jax.config.update('jax_platforms', 'cpu')
+  except Exception:  # backends already initialized: keep whatever is live
+    pass
+del _os

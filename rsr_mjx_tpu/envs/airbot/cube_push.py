@@ -52,7 +52,7 @@ class AirbotCubePush(core.Env):
       target_max_x: float | None = None,
       target_min_y: float | None = None,
       target_max_y: float | None = None,
-      max_contacts: int = 0,
+      max_contacts: int = 32,
   ):
     assert variant in ('rsr', 'train'), variant
     self.variant = variant
@@ -91,7 +91,9 @@ class AirbotCubePush(core.Env):
 
     # max_contacts > 0 enables top-k active-contact selection in the Newton
     # solver (exact as long as k ≥ simultaneously-touching contacts; the
-    # cube scene has 240 pair slots but ≤ ~32 ever in contact).
+    # cube scene has 480 pair slots but ≤ ~32 ever in contact — see
+    # test_topk_contact_selection_parity and scripts/contact_truncation.py).
+    # Pass max_contacts=0 for the full (no-selection) solve.
     self._model, self._mjm = physics.load_model_from_xml(
         xml, max_contacts=max_contacts
     )

@@ -34,8 +34,9 @@ class AirbotTPush(core.Env):
       endpoint_min_z_pos: float = 0.78,
       noise_scale: float = 1e-2,
       decimation: int = 4,
-      max_contacts: int = 0,
+      max_contacts: int = 32,
   ):
+    # top-k active-contact selection (see cube_push.py); 0 = full solve.
     self._model, self._mjm = physics.load_model_from_xml(
         build_tshape_scene(), max_contacts=max_contacts
     )

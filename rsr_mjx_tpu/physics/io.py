@@ -23,18 +23,21 @@ from rsr_mjx_tpu.physics.types import (
     StaticArr,
 )
 
-# contacts emitted per pair, keyed by collision-function group
+# contacts emitted per pair, keyed by collision-function group.  Every
+# candidate probe is a slot (no per-pair top_k manifold sort — separated
+# slots are inert downstream and Model.ncon_sel bounds the solver size):
+# plane_box = all 8 corners, box_box = 8+8 vertex probes both directions.
 GROUP_NCON = {
     'plane_sphere': 1,
     'plane_capsule': 2,
-    'plane_box': 4,
+    'plane_box': 8,
     'hfield_sphere': 1,
     'sphere_sphere': 1,
     'sphere_capsule': 1,
     'sphere_box': 1,
     'capsule_capsule': 1,
     'capsule_box': 2,
-    'box_box': 8,
+    'box_box': 16,
 }
 
 _TYPE_TO_NAME = {

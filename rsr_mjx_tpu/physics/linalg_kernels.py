@@ -307,6 +307,20 @@ def _newton_kernel(
   qf_out[...] = matvec_Jt(force)
 
 
+def newton_kernel_fits(nv: int, nefc: int) -> bool:
+  """Whether the fused kernel's VMEM working set fits at the 128-lane block.
+
+  The kernel keeps J (nv,R,E), the rank-update buffer P (same shape), M/H
+  (nv,nv,E) and the row/vector temporaries resident; double-buffered input
+  streaming roughly doubles J/M.  Very large constraint systems (e.g.
+  ncon_sel disabled on a manipulation scene: R ≈ 3000) overflow the ~16 MB
+  VMEM and must take the XLA fallback path instead (Pallas lane blocks
+  must be 128-divisible, so shrinking E is not an option)."""
+  R = _round_up(max(nefc, 8), 8)
+  per_lane_bytes = (3 * nv * R + 4 * nv * nv + 12 * R + 12 * nv) * 4
+  return per_lane_bytes * _BE <= 10 * 1024 * 1024
+
+
 def newton_solve_batched(
     kind: np.ndarray,
     iterations: int,
@@ -329,7 +343,13 @@ def newton_solve_batched(
 
   B, R0, nv = J.shape
   R = _round_up(max(R0, 8), 8)
-  Bp = _round_up(max(B, 1), _BE)
+  if not newton_kernel_fits(nv, R0):
+    raise ValueError(
+        f'Newton kernel working set too large (nv={nv}, nefc={R0}); '
+        'use the XLA fallback or enable contact selection (max_contacts).'
+    )
+  BE = _BE
+  Bp = _round_up(max(B, 1), BE)
 
   onesided = (kind == _constraint.LIMIT) | (kind == _constraint.CONTACT)
   fric = kind == _constraint.FRICTION
@@ -371,16 +391,16 @@ def newton_solve_batched(
       _newton_kernel, nv, R, iterations, ls_iterations
   )
   ones_in = jnp.broadcast_to(
-      jnp.asarray(onesided.astype(np.float32))[:, None], (R, _BE)
+      jnp.asarray(onesided.astype(np.float32))[:, None], (R, BE)
   )
   fric_in = jnp.broadcast_to(
-      jnp.asarray(fric.astype(np.float32))[:, None], (R, _BE)
+      jnp.asarray(fric.astype(np.float32))[:, None], (R, BE)
   )
-  vec_spec = pl.BlockSpec((nv, _BE), lambda i: (0, i),
+  vec_spec = pl.BlockSpec((nv, BE), lambda i: (0, i),
                           memory_space=pltpu.VMEM)
-  row_spec = pl.BlockSpec((R, _BE), lambda i: (0, i),
+  row_spec = pl.BlockSpec((R, BE), lambda i: (0, i),
                           memory_space=pltpu.VMEM)
-  mask_spec = pl.BlockSpec((R, _BE), lambda i: (0, 0),
+  mask_spec = pl.BlockSpec((R, BE), lambda i: (0, 0),
                            memory_space=pltpu.VMEM)
   xt, ft, qft = pl.pallas_call(
       kernel,
@@ -389,13 +409,13 @@ def newton_solve_batched(
           jax.ShapeDtypeStruct((R, Bp), M.dtype),
           jax.ShapeDtypeStruct((nv, Bp), M.dtype),
       ),
-      grid=(Bp // _BE,),
+      grid=(Bp // BE,),
       in_specs=[
-          pl.BlockSpec((nv, nv, _BE), lambda i: (0, 0, i),
+          pl.BlockSpec((nv, nv, BE), lambda i: (0, 0, i),
                        memory_space=pltpu.VMEM),
           vec_spec,
           vec_spec,
-          pl.BlockSpec((nv, R, _BE), lambda i: (0, 0, i),
+          pl.BlockSpec((nv, R, BE), lambda i: (0, 0, i),
                        memory_space=pltpu.VMEM),
           row_spec,
           row_spec,

@@ -207,15 +207,22 @@ def _get_solver(kind_key: _KindKey, iterations: int, ls_iterations: int,
         for a, b in zip((M, a0, x0, J, aref, D, floss), in_batched)
     )
     M, a0, x0, J, aref, D, floss = args
+    fits = _lk.newton_kernel_fits(M.shape[-1], J.shape[-2])
     if (
         _lk._use_tpu_kernels()
+        and fits
         and J.ndim == 3
         and M.dtype == jnp.float32
     ):
       out = _lk.newton_solve_batched(
           kind, max(iterations, 1), ls_eff, M, a0, x0, J, aref, D, floss
       )
-    elif _lk._use_tpu_kernels() and J.ndim == 4 and M.dtype == jnp.float32:
+    elif (
+        _lk._use_tpu_kernels()
+        and fits
+        and J.ndim == 4
+        and M.dtype == jnp.float32
+    ):
       # nested vmap: flatten the two leading batch dims into one
       b1, b2 = J.shape[:2]
       flat = [a.reshape((b1 * b2,) + a.shape[2:]) for a in args]

@@ -6,9 +6,13 @@ has run in the process, which silently dominates naive per-stage timing
 (measured: the same batched box_box narrow-phase reads 0.05 ms in a fresh
 process and 30 ms after one jitted env.reset).  This profiler instead scans
 each stage K times inside ONE jitted program and divides, so dispatch
-overhead amortizes away and numbers reflect on-device cost.  A tiny
-iteration-dependent perturbation of qpos defeats loop-invariant hoisting /
-CSE of the stage body.
+overhead amortizes away and numbers reflect on-device cost.
+
+To defeat loop-invariant hoisting / CSE of the stage body, EVERY float
+leaf of Data is perturbed by an iteration-dependent epsilon each scan step
+(round 2 perturbed only qpos, which let XLA hoist any stage that reads
+geom_xpos/xpos/cdof instead — under-reporting collision 8x).  The cost of
+the perturbation pass itself is measured via a no-op stage and subtracted.
 
 Usage: python scripts/profile_scan.py [num_envs] [K]
 """
@@ -51,12 +55,20 @@ def main():
   d0 = state.data
   jax.block_until_ready(d0.qpos)
 
-  def scan_stage(stage):
-    """jit( K-times scanned stage ), perturbation defeats hoisting."""
+  def jiggle(d, i):
+    """Perturb every float leaf so no stage input is loop-invariant."""
+    eps = 1e-12 * i
 
+    def f(x):
+      if hasattr(x, 'dtype') and jnp.issubdtype(x.dtype, jnp.floating):
+        return x + jnp.asarray(eps, dtype=x.dtype)
+      return x
+
+    return jax.tree.map(f, d)
+
+  def scan_stage(stage):
     def body(carry, i):
-      d = carry
-      d = d.replace(qpos=d.qpos + 1e-12 * i)
+      d = jiggle(carry, i)
       d = jax.vmap(stage)(d)
       return d, ()
 
@@ -66,7 +78,7 @@ def main():
 
     return jax.jit(run)
 
-  def bench(name, stage, d_in, n=2):
+  def bench(name, stage, d_in, n=2, base=0.0):
     fn = scan_stage(stage)
     out = fn(d_in)
     jax.block_until_ready(out.qpos)
@@ -74,7 +86,7 @@ def main():
     for _ in range(n):
       out = fn(d_in)
     jax.block_until_ready(out.qpos)
-    dt = (time.time() - t0) / (n * K)
+    dt = (time.time() - t0) / (n * K) - base
     print(f'{name:34s} {dt * 1e3:9.3f} ms/iter', flush=True)
     return dt
 
@@ -92,18 +104,29 @@ def main():
   d_fwd = jax.jit(jax.vmap(lambda dd: _forward.forward(m, dd)))(d0)
   jax.block_until_ready(d_fwd.qacc)
 
-  t_total = bench('physics step', lambda dd: _forward.step(m, dd), d0)
-  bench('kinematics', lambda dd: _kin.kinematics(m, dd), d0)
-  bench('com_vel', lambda dd: _kin.com_vel(m, dd), d_pos)
-  bench('crb', lambda dd: _smooth.crb(m, dd), d_pos)
-  bench('collision', lambda dd: _collision.collision(m, dd), d_pos)
-  bench('rne+passive+act+fwdvel', vel_stage, d_pos)
-  bench(
-      'assembly+newton',
-      lambda dd: _solver.solve(m, dd, _constraint.make_constraints(m, dd)),
-      d_vel,
-  )
-  bench('integrate', lambda dd: _forward.integrate(m, dd), d_fwd)
+  # perturbation-only baseline (subtracted from every stage)
+  t_base = bench('jiggle only (baseline)', lambda dd: dd, d_fwd)
+
+  t_total = bench('physics step', lambda dd: _forward.step(m, dd), d0,
+                  base=t_base)
+  stages = [
+      bench('kinematics', lambda dd: _kin.kinematics(m, dd), d0, base=t_base),
+      bench('com_vel', lambda dd: _kin.com_vel(m, dd), d_pos, base=t_base),
+      bench('crb', lambda dd: _smooth.crb(m, dd), d_pos, base=t_base),
+      bench('collision', lambda dd: _collision.collision(m, dd), d_pos,
+            base=t_base),
+      bench('rne+passive+act+fwdvel', vel_stage, d_pos, base=t_base),
+      bench(
+          'assembly+newton',
+          lambda dd: _solver.solve(m, dd, _constraint.make_constraints(m, dd)),
+          d_vel,
+          base=t_base,
+      ),
+      bench('integrate', lambda dd: _forward.integrate(m, dd), d_fwd,
+            base=t_base),
+  ]
+  print(f'{"stage sum":34s} {sum(stages) * 1e3:9.3f} ms/iter '
+        f'({sum(stages) / max(t_total, 1e-12):.0%} of whole step)')
 
   # full env step (4 substeps + reward/obs), scanned at env level
   def env_body(carry, i):

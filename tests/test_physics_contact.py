@@ -130,7 +130,7 @@ def test_contact_forces_exposed():
   m, mjm = physics.load_model_from_xml(xml, dtype=jnp.float64)
   d = physics.make_data(m, dtype=jnp.float64)
   d = physics.forward(m, d)
-  assert m.ncon == 4  # plane-box emits 4 slots
+  assert m.ncon == 8  # plane-box emits 8 slots (all corners)
   # at z=0.0401 the box hovers 1e-4 above: dist small positive
   assert np.asarray(d.contact.dist).min() < 2e-4
   # normal force supports the weight once settled
