@@ -24,7 +24,8 @@ def main():
   steps = 50
 
   # top-k active-contact selection: Newton system sees ≤32 of the scene's
-  # 240 contact slots (exact for this scene; see test_physics_contact.py).
+  # 480 contact slots (≤ ~16 penetrate even under aggressive manipulation;
+  # bound asserted with margin in test_physics_contact.py).
   env_core = envs.load('AirbotCubePush', max_contacts=32)
   from rsr_mjx_tpu.envs import wrappers
 

@@ -15,6 +15,14 @@ __version__ = '0.1.0'
 # available and it is the one tests/verification need (SKILL.md gotchas).
 import os as _os
 
+# Headless offscreen rendering: C MuJoCo freezes its GL backend choice at
+# first `import mujoco` (mujoco/__init__.py imports the renderer's
+# gl_context eagerly), so the EGL default must be in place before any
+# module here pulls mujoco in — utils/rendering.py is too late when the
+# env modules imported mujoco first.
+if 'MUJOCO_GL' not in _os.environ and 'DISPLAY' not in _os.environ:
+  _os.environ['MUJOCO_GL'] = 'egl'
+
 if _os.environ.get('JAX_PLATFORMS') == 'cpu':
   import jax as _jax
 

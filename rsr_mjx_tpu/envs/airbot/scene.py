@@ -153,7 +153,7 @@ def build_cube_scene(
   """
   return f"""
 <mujoco model="airbot_cube_push">
-  <option timestep="0.0025" iterations="4" ls_iterations="6" integrator="implicitfast" gravity="0 0 -9.81"/>
+  <option timestep="0.0025" iterations="20" integrator="implicitfast" gravity="0 0 -9.81"/>
   <compiler angle="radian" inertiafromgeom="auto" inertiagrouprange="22 22"/>
 
   <default>

@@ -266,19 +266,58 @@ def _full_leg_xml(name: str) -> str:
 """
 
 
-def build_full_scene() -> str:
+def _self_collision_pairs() -> str:
+  """Explicit <pair> elements enabling bounded robot self-collision.
+
+  The reference full-collision model allows all robot part↔part contact
+  via contype/conaffinity and bounds the simultaneous set dynamically with
+  MJX's ``max_geom_pairs=12`` custom (go2_mjx_fullcollisions.xml).  The
+  static-shape engine instead enumerates the pairs that are geometrically
+  reachable in folded/fall poses — cross-leg feet/calves/thighs and
+  leg↔trunk — each a single-slot capsule/sphere contact, so the whole set
+  adds ~100 static narrow-phase slots.  Pair contact params are mixed from
+  the geom params (geom-combine rule) rather than MJCF pair defaults.
+  """
+  legs = ('FR', 'FL', 'RR', 'RL')
+  pairs = []
+  # cross-leg: feet↔feet, foot↔calf, calf↔calf, thigh1↔thigh1
+  for i, a in enumerate(legs):
+    for b in legs[i + 1:]:
+      la, lb = a.lower(), b.lower()
+      pairs.append((a, b))
+      for seg in ('calf1', 'calf2'):
+        pairs.append((a, f'{lb}_{seg}'))
+        pairs.append((b, f'{la}_{seg}'))
+      for s1 in ('calf1', 'calf2'):
+        for s2 in ('calf1', 'calf2'):
+          pairs.append((f'{la}_{s1}', f'{lb}_{s2}'))
+      pairs.append((f'{la}_thigh1', f'{lb}_thigh1'))
+  # leg↔trunk: thighs and calves against both trunk capsules
+  for a in legs:
+    la = a.lower()
+    for seg in ('thigh1', 'thigh2', 'thigh3', 'calf1', 'calf2'):
+      for trunk in ('trunk1', 'trunk2'):
+        pairs.append((f'{la}_{seg}', trunk))
+  rows = '\n'.join(
+      f'    <pair geom1="{g1}" geom2="{g2}" condim="1"/>' for g1, g2 in pairs
+  )
+  return f'  <contact>\n{rows}\n  </contact>'
+
+
+def build_full_scene(self_collision: bool = True) -> str:
   """Full-collision flat-terrain Go2 (menagerie variant), used by the
   getup and handstand/footstand tasks (reference:
   go2_mjx_fullcollisions.xml / go2_mjx.xml + their scene files).
 
   Deviations from the reference, chosen for the static-shape TPU engine:
-  cylinders are approximated by equal-size capsules, and collision is
-  body↔floor only (the reference's default contype/conaffinity enable
-  self-collision, bounded dynamically by MJX's max_geom_pairs=12 custom —
-  a dynamic broad-phase the static pair table deliberately avoids; floor
-  contacts dominate the task dynamics for fall recovery and stands).
+  cylinders are approximated by equal-size capsules, and robot
+  self-collision is a curated static pair list (``_self_collision_pairs``)
+  instead of the reference's dynamic contype/conaffinity broad-phase
+  bounded by MJX max_geom_pairs=12.  ``self_collision=False`` restores the
+  round-1/2 floor-only behavior.
   """
   legs = ''.join(_full_leg_xml(n) for n in ('FR', 'FL', 'RR', 'RL'))
+  contact_block = _self_collision_pairs() if self_collision else ''
   return f"""
 <mujoco model="go2_fullcollisions_flat">
   <option iterations="1" ls_iterations="5" timestep="0.004" integrator="Euler">
@@ -367,6 +406,7 @@ def build_full_scene() -> str:
     <framepos objtype="site" objname="RL" name="RL_pos" reftype="site" refname="imu"/>
     <framepos objtype="site" objname="head" name="head_pos"/>
   </sensor>
+{contact_block}
 {_KEYFRAMES}
 </mujoco>
 """

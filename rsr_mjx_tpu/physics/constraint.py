@@ -186,6 +186,22 @@ def make_constraints(m: Model, d: Data) -> Efc:
   return _assemble(m, d)
 
 
+def contact_overflow(m: Model, d: Data):
+  """(n_penetrating, truncated) active-contact diagnostic for ncon_sel.
+
+  ``truncated`` is True when the scene has more simultaneously penetrating
+  contact slots than the active-set selection solves (ncon_sel /
+  ``max_contacts``) — i.e. the solver silently dropped real contacts this
+  step.  Per-env under vmap.  Used by tests/test_physics_contact.py to
+  validate the ncon_sel bound in the manipulation regime (round-2 advisor
+  item) and exportable as a training metric.
+  """
+  n_pen = jnp.sum((d.contact.dist < 0.0).astype(jnp.int32))
+  nsel = _selection_size(m)
+  truncated = (n_pen > nsel) if nsel else jnp.zeros((), bool)
+  return n_pen, truncated
+
+
 def _assemble(m: Model, d: Data) -> Efc:
   lay = layout_cached(m)
   dtype = d.qpos.dtype
@@ -299,19 +315,45 @@ def _assemble(m: Model, d: Data) -> Efc:
 
     nsel = _selection_size(m)
     if nsel:
-      # active-set selection: solve only the nsel nearest contact slots.
+      # Active-set selection: solve only the nsel nearest contact slots.
       # Separated slots have ~zero impedance, so dropping all but the k
-      # nearest preserves the dynamics as long as nsel ≥ #active contacts.
-      # Static per-slot tables are gathered with the traced indices.
+      # nearest preserves the dynamics as long as nsel ≥ #active contacts
+      # (validated by contact_overflow / test_physics_contact.py).
+      #
+      # TPU cost notes (scripts/profile_assembly.py, B=1024 on v5e):
+      # top_k itself is 0.10 ms, but batched fancy-indexing gathers of the
+      # (ncon, …) contact arrays cost 2.3 ms/substep — they were the
+      # dominant assembly cost.  A cumsum+scatter compaction is even worse
+      # (2.4 ms for the scatter alone).  Instead the gather is expressed
+      # as a one-hot matmul: under the env vmap it becomes one batched
+      # (nsel × ncon) @ (ncon × F) contraction that lands on the MXU.
+      # One-hot weights make it an exact gather, and gradients flow
+      # through the matmul to the contact features like any dot product.
       _, sel_idx = jax.lax.top_k(-con.dist, nsel)
-      c_dist = con.dist[sel_idx]
-      c_pos = con.pos[sel_idx]
-      c_frame = con.frame[sel_idx]
-      c_friction = con.friction[sel_idx]
-      c_solref = con.solref[sel_idx]
-      c_solimp = con.solimp[sel_idx]
-      dmask = dmask_all[sel_idx]
-      invweight = invweight_all[sel_idx]
+      onehot = (
+          sel_idx[:, None] == jnp.arange(m.ncon, dtype=sel_idx.dtype)
+      ).astype(dtype)  # (nsel, ncon)
+      feat = jnp.concatenate(
+          [
+              con.dist[:, None],
+              con.pos,
+              con.frame.reshape(m.ncon, 9),
+              con.friction,
+              con.solref,
+              con.solimp,
+              invweight_all[:, None],
+          ],
+          axis=1,
+      )  # (ncon, 26)
+      sel = onehot @ feat  # (nsel, 26)
+      c_dist = sel[:, 0]
+      c_pos = sel[:, 1:4]
+      c_frame = sel[:, 4:13].reshape(nsel, 3, 3)
+      c_friction = sel[:, 13:18]
+      c_solref = sel[:, 18:20]
+      c_solimp = sel[:, 20:25]
+      invweight = sel[:, 25]
+      dmask = onehot @ dmask_all  # (nsel, nv); dmask_all is static numpy
       groups = [(int(con.condim.arr[0]), slice(None))]
     else:
       c_dist, c_pos, c_frame = con.dist, con.pos, con.frame

@@ -314,6 +314,29 @@ def name2id(m: Model, kind: str, name: str) -> int:
   return table[name]
 
 
+def _apply_max_contacts(m: Model, max_contacts: int) -> Model:
+  """Validate and set Model.ncon_sel (round-2 advisor item: previously
+  unvalidated).  Raises at load, not at first trace, so misconfiguration
+  fails where the user can see the model."""
+  if not max_contacts:
+    return m
+  max_contacts = int(max_contacts)
+  if max_contacts < 0:
+    raise ValueError(f'max_contacts must be >= 0, got {max_contacts}')
+  if max_contacts >= m.ncon:
+    # selection is a no-op; record 0 so layout() takes the full path
+    return m.replace(ncon_sel=0)
+  from rsr_mjx_tpu.physics import constraint as _constraint
+
+  condims = set(_constraint.contact_condims(m))
+  if len(condims) > 1:
+    raise ValueError(
+        'max_contacts (top-k contact selection) requires uniform contact '
+        f'condim across all pairs; model has condims {sorted(condims)}'
+    )
+  return m.replace(ncon_sel=max_contacts)
+
+
 def load_model_from_xml(xml: str, dtype=jnp.float32, max_contacts: int = 0):
   """Compile MJCF string via C MuJoCo and convert. Returns (Model, MjModel).
 
@@ -323,14 +346,10 @@ def load_model_from_xml(xml: str, dtype=jnp.float32, max_contacts: int = 0):
   """
   mjm = mujoco.MjModel.from_xml_string(xml)
   m = put_model(mjm, dtype=dtype)
-  if max_contacts:
-    m = m.replace(ncon_sel=int(max_contacts))
-  return m, mjm
+  return _apply_max_contacts(m, max_contacts), mjm
 
 
 def load_model_from_path(path: str, dtype=jnp.float32, max_contacts: int = 0):
   mjm = mujoco.MjModel.from_xml_path(path)
   m = put_model(mjm, dtype=dtype)
-  if max_contacts:
-    m = m.replace(ncon_sel=int(max_contacts))
-  return m, mjm
+  return _apply_max_contacts(m, max_contacts), mjm

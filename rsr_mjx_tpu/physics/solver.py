@@ -19,8 +19,10 @@ TPU-native design (round-2 rework, per VERDICT item 1):
   unbatched / non-TPU base path is the original XLA ``while_loop`` Newton.
 
 - **Warm start**: iterations start from the previous substep's ``qacc``
-  (MuJoCo ``qacc_warmstart`` semantics) so 2-4 fixed iterations reach the
-  same solution quality as the reference XML's 20 adaptive ones.
+  (MuJoCo ``qacc_warmstart`` semantics).  The fixed-count kernel runs
+  min(opt.iterations, 8) Newton steps — enough to converge even at
+  impacts, where the warm start is cold (4 was not: see the impact-probe
+  note at ``kernel_iters`` below and PROFILE.md).
 
 - **Implicit differentiation**: gradients do not flow through the Newton
   iterations.  A ``jax.custom_vjp`` applies the implicit function theorem
@@ -185,6 +187,15 @@ def _get_solver(kind_key: _KindKey, iterations: int, ls_iterations: int,
   """
   kind = kind_key.arr
   ls_eff = max(min(ls_iterations, 8), 1)
+  # The fused TPU kernel unrolls a FIXED iteration count (no adaptive
+  # exit), so it is capped below the model's adaptive budget.  8 is
+  # empirically converged: an impact-rich cube-push probe (end-effector
+  # slammed into the cube, 3 seeds x 100 steps) gives identical max cube
+  # speeds for 6/8/20 iterations, while 4 under-converges and launches
+  # the cube at 2.5 m/s (round-2's iterations=4 bug; see PROFILE.md).
+  # Extra iterations on the converged convex problem are no-ops, so the
+  # capped kernel and the adaptive XLA path agree wherever both converge.
+  kernel_iters = max(min(iterations, 8), 1)
 
   def base(M, a0, x0, J, aref, D, floss):
     x = _newton_forward(
@@ -215,7 +226,7 @@ def _get_solver(kind_key: _KindKey, iterations: int, ls_iterations: int,
         and M.dtype == jnp.float32
     ):
       out = _lk.newton_solve_batched(
-          kind, max(iterations, 1), ls_eff, M, a0, x0, J, aref, D, floss
+          kind, kernel_iters, ls_eff, M, a0, x0, J, aref, D, floss
       )
     elif (
         _lk._use_tpu_kernels()
@@ -227,7 +238,7 @@ def _get_solver(kind_key: _KindKey, iterations: int, ls_iterations: int,
       b1, b2 = J.shape[:2]
       flat = [a.reshape((b1 * b2,) + a.shape[2:]) for a in args]
       out = _lk.newton_solve_batched(
-          kind, max(iterations, 1), ls_eff, *flat
+          kind, kernel_iters, ls_eff, *flat
       )
       out = tuple(o.reshape((b1, b2) + o.shape[1:]) for o in out)
     else:

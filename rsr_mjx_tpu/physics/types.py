@@ -293,8 +293,11 @@ class Model:
   # full Contact set stays available on Data for queries/sensors.  Cuts the
   # Newton system from O(ncon) to O(ncon_sel) rows — the dominant cost for
   # scenes whose pair table is much larger than the simultaneously-active
-  # contact count (Airbot: 240 slots, ≤ ~40 active).  Requires uniform
-  # condim across contact pairs.
+  # contact count (Airbot cube scene: 480 slots, ≤ ~16 penetrating measured
+  # during aggressive gripper-on-cube manipulation;
+  # tests/test_physics_contact.py asserts the bound with margin via the
+  # constraint.contact_overflow diagnostic).  Requires uniform condim
+  # across contact pairs.
   ncon_sel: int = _static(default=0)
   # name lookup tables (python dicts; static)
   names: Any = _static(default=None)

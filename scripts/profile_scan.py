@@ -122,6 +122,21 @@ def main():
           d_vel,
           base=t_base,
       ),
+  ]
+
+  # split: assembly alone (efc folded into qacc so it is not dead code) and
+  # newton alone (efc fixed from d_vel; M/a0/warm-start still jiggled)
+  def asm_only(dd):
+    efc = _constraint.make_constraints(m, dd)
+    probe = (
+        jnp.sum(efc.J) + jnp.sum(efc.aref) + jnp.sum(efc.D)
+        + jnp.sum(efc.floss)
+    )
+    return dd.replace(qacc=dd.qacc + 0.0 * probe)
+
+  t_asm = bench('  assembly only', asm_only, d_vel, base=t_base)
+  del t_asm  # newton-only ≈ (assembly+newton) − (assembly only)
+  stages += [
       bench('integrate', lambda dd: _forward.integrate(m, dd), d_fwd,
             base=t_base),
   ]

@@ -18,10 +18,8 @@ from __future__ import annotations
 import functools
 import json
 import os
-import time
-
-import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -42,8 +40,22 @@ flags.DEFINE_integer('batch_size', None, 'Override tuned value.')
 flags.DEFINE_integer('episode_length', None, 'Override tuned value.')
 flags.DEFINE_float('learning_rate', None, 'Override tuned value.')
 flags.DEFINE_integer('num_eval_envs', None, 'Override tuned value.')
+flags.DEFINE_integer('unroll_length', None, 'Override tuned value (PPO).')
+flags.DEFINE_integer('num_minibatches', None, 'Override tuned value (PPO).')
+flags.DEFINE_integer('num_updates_per_batch', None,
+                     'Override tuned value (PPO).')
 flags.DEFINE_boolean('multihost', False,
                      'Call jax.distributed.initialize() before training.')
+flags.DEFINE_boolean('render', False,
+                     'Post-training deterministic rollout rendered to mp4 '
+                     '(reference train.py:94-117).')
+flags.DEFINE_integer('render_steps', 300, 'Rollout length for --render.')
+flags.DEFINE_boolean('use_wandb', False,
+                     'Log metrics to Weights & Biases if installed '
+                     '(reference train_jax_ppo.py:52-59,189-194).')
+flags.DEFINE_boolean('use_tb', False,
+                     'Log metrics to TensorBoard via tensorboardX if '
+                     'installed (reference train_jax_ppo.py:265-273).')
 
 
 def main(argv):
@@ -76,6 +88,9 @@ def main(argv):
       'episode_length',
       'learning_rate',
       'num_eval_envs',
+      'unroll_length',
+      'num_minibatches',
+      'num_updates_per_batch',
   ):
     if getattr(FLAGS, key) is not None and key in cfg:
       cfg[key] = getattr(FLAGS, key)
@@ -88,6 +103,28 @@ def main(argv):
   os.makedirs(ckpt_dir, exist_ok=True)
   history = []
 
+  # optional experiment-logging sinks, degrading gracefully when the
+  # packages are absent (reference train_jax_ppo.py:52-59)
+  wandb_run = None
+  if FLAGS.use_wandb:
+    try:
+      import wandb
+
+      wandb_run = wandb.init(
+          project='rsr_mjx_tpu', name=os.path.basename(logdir),
+          config=dict(cfg, env=env_name, algorithm=algo),
+      )
+    except ImportError:
+      logging.warning('wandb not installed; skipping --use_wandb')
+  tb_writer = None
+  if FLAGS.use_tb:
+    try:
+      from tensorboardX import SummaryWriter
+
+      tb_writer = SummaryWriter(os.path.join(logdir, 'tb'))
+    except ImportError:
+      logging.warning('tensorboardX not installed; skipping --use_tb')
+
   def progress_fn(step, metrics):
     logging.info(
         'step=%d reward=%.3f sps=%.0f',
@@ -99,6 +136,37 @@ def main(argv):
                                      metrics.items()}})
     with open(os.path.join(logdir, 'progress.json'), 'w') as f:
       json.dump(history, f, indent=1)
+    if wandb_run is not None:
+      wandb_run.log({k: float(v) for k, v in metrics.items()}, step=step)
+    if tb_writer is not None:
+      for k, v in metrics.items():
+        tb_writer.add_scalar(k, float(v), step)
+    _plot_progress(history, logdir)
+
+
+  def _plot_progress(history, logdir):
+    """Reward-vs-steps error-bar curve (reference train.py:57-79)."""
+    rows = [h for h in history if 'eval/episode_reward' in h]
+    if len(rows) < 2:
+      return
+    try:
+      import matplotlib
+
+      matplotlib.use('Agg')
+      import matplotlib.pyplot as plt
+    except ImportError:
+      return
+    xs = [h['step'] for h in rows]
+    ys = [h['eval/episode_reward'] for h in rows]
+    err = [h.get('eval/episode_reward_std', 0.0) for h in rows]
+    fig, ax = plt.subplots(figsize=(7, 4))
+    ax.errorbar(xs, ys, yerr=err, capsize=2)
+    ax.set_xlabel('environment steps')
+    ax.set_ylabel('eval/episode_reward')
+    ax.set_title(f'{env_name} ({algo})')
+    fig.tight_layout()
+    fig.savefig(os.path.join(logdir, 'progress.png'), dpi=110)
+    plt.close(fig)
 
   randomization_fn = None
   if FLAGS.domain_randomization:
@@ -166,6 +234,26 @@ def main(argv):
   sac.save_params(final_path, params)
   logging.info('training done; final params at %s', final_path)
   logging.info('final metrics: %s', metrics)
+
+  if wandb_run is not None:
+    wandb_run.finish()
+  if tb_writer is not None:
+    tb_writer.close()
+
+  if FLAGS.render:
+    # deterministic rollout → mp4 (reference train.py:94-117)
+    from rsr_mjx_tpu.utils import rendering
+
+    video_env = envs.load(env_name)
+    policy = make_policy(params, deterministic=True)
+    frames = rendering.render_env_rollout(
+        video_env, policy, n_steps=FLAGS.render_steps, seed=FLAGS.seed
+    )
+    video_path = rendering.save_video(
+        frames, os.path.join(logdir, 'rollout.mp4'),
+        fps=1.0 / video_env.dt,
+    )
+    logging.info('rollout video at %s', video_path)
 
 
 if __name__ == '__main__':

@@ -24,6 +24,15 @@ import jax
 jax.config.update('jax_platforms', 'cpu')
 assert jax.default_backend() == 'cpu', jax.default_backend()
 
+# Persistent compilation cache: the suite's dominant cost is XLA compiles
+# (grad-through-physics in test_rsr_pipeline alone compiles for ~20 min
+# cold); repeat runs hit the disk cache and the suite drops to minutes.
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
+                      os.path.expanduser('~/.jax_compile_cache'))
+jax.config.update('jax_compilation_cache_dir',
+                  os.environ['JAX_COMPILATION_CACHE_DIR'])
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
+
 
 import pytest
 

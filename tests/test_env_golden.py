@@ -19,26 +19,30 @@ GOLDEN_DIR = os.path.join(os.path.dirname(__file__), 'goldens')
 REGEN = os.environ.get('REGEN', '0') == '1'
 
 CASES = [
-    ('AirbotCubePush', 5, 3),
-    ('AirbotTPush', 5, 3),
-    ('Go2JoystickFlatTerrain', 12, 3),
+    ('AirbotCubePush', 5, 100),
+    ('AirbotTPush', 5, 100),
+    ('Go2JoystickFlatTerrain', 12, 100),
+    ('Go2Getup', 12, 100),
+    ('Go2Handstand', 12, 100),
 ]
 
 
 def _rollout(name, act_dim, steps):
   env = envs.load(name)
   state = jax.jit(env.reset)(jax.random.PRNGKey(42))
-  step = jax.jit(env.step)
-  obs_trace, rew_trace = [], []
-  rng = jax.random.PRNGKey(7)
-  for _ in range(steps):
-    rng, sub = jax.random.split(rng)
-    act = jax.random.uniform(sub, (act_dim,), minval=-0.3, maxval=0.3)
-    state = step(state, act)
+
+  def body(carry, key):
+    state = carry
+    act = jax.random.uniform(key, (act_dim,), minval=-0.3, maxval=0.3)
+    state = env.step(state, act)
     obs = state.obs['state'] if isinstance(state.obs, dict) else state.obs
-    obs_trace.append(np.asarray(obs))
-    rew_trace.append(float(state.reward))
-  return np.stack(obs_trace), np.asarray(rew_trace)
+    return state, (obs, state.reward)
+
+  keys = jax.random.split(jax.random.PRNGKey(7), steps)
+  _, (obs, rew) = jax.jit(
+      lambda s, k: jax.lax.scan(body, s, k)
+  )(state, keys)
+  return np.asarray(obs), np.asarray(rew)
 
 
 @pytest.mark.parametrize('name,act_dim,steps', CASES,

@@ -145,8 +145,8 @@ def test_topk_contact_selection_parity():
   """max_contacts (Model.ncon_sel) top-k selection matches the full
   assembly as long as k ≥ number of simultaneously-active contacts.
 
-  Uses the Airbot cube scene (240 pair slots, ≤ ~32 active) — the workload
-  the feature targets."""
+  Uses the Airbot cube scene (480 pair slots, ≤ ~16 active measured) — the
+  workload the feature targets."""
   from rsr_mjx_tpu.envs.airbot.scene import build_cube_scene
 
   xml = build_cube_scene()
@@ -166,4 +166,49 @@ def test_topk_contact_selection_parity():
   )
   np.testing.assert_allclose(
       np.asarray(df.qvel), np.asarray(ds.qvel), atol=1e-3
+  )
+
+
+def test_contact_selection_parity_manipulation_regime():
+  """Selection parity in the gripper-on-cube contact regime (round-2
+  advisor item: the rest-state parity test above never reaches it).
+
+  Servos the end-effector onto the cube, then checks (a) the ncon_sel=32
+  bound holds with margin (contact_overflow reports no truncation), and
+  (b) full-solve and top-k-selected stepping agree from the contact-rich
+  state."""
+  from rsr_mjx_tpu import envs
+  from rsr_mjx_tpu.physics import constraint as C
+
+  env_full = envs.load('AirbotCubePush', max_contacts=0)
+  env_sel = envs.load('AirbotCubePush', max_contacts=32)
+  m_full, m_sel = env_full.model, env_sel.model
+
+  state = jax.jit(env_full.reset)(jax.random.PRNGKey(0))
+  env_step = jax.jit(env_full.step)
+  overflow = jax.jit(lambda d: C.contact_overflow(m_sel, d))
+
+  # drive the end-effector into the cube; record the most contact-rich state
+  best_d, best_n = None, -1
+  for _ in range(60):
+    obs = np.asarray(state.obs)
+    act = np.zeros(5)
+    act[:3] = np.clip(obs[-3:] / 0.02, -1, 1)  # obs tail = (cube − site)
+    state = env_step(state, jnp.asarray(act, jnp.float32))
+    n_pen, truncated = overflow(state.data)
+    assert not bool(truncated), int(n_pen)
+    if int(n_pen) > best_n:
+      best_n, best_d = int(n_pen), state.data
+  # contact-rich: cube-table corners + finger/arm contacts
+  assert best_n >= 5, best_n
+  assert best_n <= 32 - 8, f'ncon_sel margin too small: {best_n}'
+
+  step_full = jax.jit(lambda d: physics.step(m_full, d))
+  step_sel = jax.jit(lambda d: physics.step(m_sel, d))
+  df, ds = best_d, best_d
+  for _ in range(20):
+    df = step_full(df)
+    ds = step_sel(ds)
+  np.testing.assert_allclose(
+      np.asarray(df.qpos), np.asarray(ds.qpos), atol=5e-4
   )

@@ -59,7 +59,10 @@ def test_build_policy_rsr_data_validation():
 def test_env_params_tuning_reduces_loss():
   """Tuning the cube friction against sim-generated 'real' transitions
   must produce a finite, shrinking loss and move the parameter."""
-  env = envs.load('AirbotCubePush')
+  # max_contacts=8 shrinks the constraint system: differentiating through
+  # the contact solve is this suite's largest compile and 8 slots exercise
+  # the same code paths (cold compile was ~25 min at the default 32)
+  env = envs.load('AirbotCubePush', max_contacts=8)
   # generate 4 on-policy transitions from the env itself
   state = jax.jit(env.reset)(jax.random.PRNGKey(0))
   step = jax.jit(env.step)
