@@ -83,6 +83,27 @@ class CameraConfig:
   x_offset: float = 0.57
   flip_xy: bool = True
 
+  @classmethod
+  def from_yaml(cls, path: str) -> 'CameraConfig':
+    """Load from the deployment config.yaml (deploy_ros/.../config.yaml;
+    reference: airbot_sim2real_sl/config/config.yaml structure)."""
+    import yaml
+
+    with open(path) as f:
+      doc = yaml.safe_load(f)
+    kwargs = {}
+    cam = doc.get('camera', {})
+    if 'intrinsics' in cam:
+      kwargs['intrinsics'] = np.asarray(
+          cam['intrinsics'], dtype=np.float64
+      ).reshape(3, 3)
+    if 'distortions' in cam:
+      kwargs['distortion'] = np.asarray(cam['distortions'], np.float64)
+    tag = doc.get('tag', {})
+    if 'length' in tag:
+      kwargs['tag_length'] = float(tag['length'])
+    return cls(**kwargs)
+
 
 def tag_object_points(tag_length: float) -> np.ndarray:
   """Planar tag corner coordinates in the tag frame, in OpenCV aruco corner

@@ -10,6 +10,16 @@ Reference semantics (load-bearing for training dynamics — SURVEY §7):
   - DomainRandomization: vmap over a batched model with an in_axes pytree
     (wrapper.py:139-165).
   - SelectObservation: extract one key of a dict obs (wrapper.py:77-114).
+
+Deliberately omitted: the Madrona batch-vision tiling wrapper
+(reference wrapper.py:166-280).  It exists in the reference only to
+support pixel-observation envs via the Madrona GPU batch renderer; none
+of the reference's registered tasks (Airbot cube/T, Go2 suite) uses
+vision observations, no entry script enables it, and Madrona is a
+CUDA-only renderer with no TPU path.  If a pixel task is ever added, the
+TPU-native equivalent is host-side C-MuJoCo rendering
+(utils/rendering.py) feeding observations through host callbacks or a
+pre-rendered dataset — not a port of the Madrona wrapper.
 """
 
 from __future__ import annotations

@@ -87,23 +87,34 @@ def make_data(m: Model, dtype=jnp.float32) -> Data:
 
 
 def fwd_position(m: Model, d: Data) -> Data:
-  d = _kin.kinematics(m, d)
-  d = _kin.com_vel(m, d)
-  d = _smooth.crb(m, d)
-  d = _collision.collision(m, d)
+  with jax.default_matmul_precision('highest'):
+    d = _kin.kinematics(m, d)
+    d = _kin.com_vel(m, d)
+    d = _smooth.crb(m, d)
+    d = _collision.collision(m, d)
   return d
 
 
 def forward(m: Model, d: Data) -> Data:
-  """Full forward dynamics: fills qacc (and everything before it)."""
-  d = fwd_position(m, d)
-  d = _smooth.rne(m, d)
-  d = _smooth.passive(m, d)
-  d = _smooth.actuation(m, d)
-  d = _smooth.fwd_velocity(m, d)
-  efc = _constraint.make_constraints(m, d)
-  d = _solver.solve(m, d, efc)
-  d = _sensors.sensordata(m, d)
+  """Full forward dynamics: fills qacc (and everything before it).
+
+  The whole pipeline runs under matmul precision 'highest': on TPU the
+  default lowers dot/einsum inputs to bf16 (8-bit mantissa ⇒ ~8 mm
+  position error at the 1 m scene scale), which corrupts contact geometry
+  and the one-hot selection gather — a full PPO run NaN'd from step 0
+  before this was scoped.  'highest' uses the 3-pass bf16 decomposition,
+  f32-exact for these magnitudes; policy/value network matmuls outside
+  the physics step keep the fast default.
+  """
+  with jax.default_matmul_precision('highest'):
+    d = fwd_position(m, d)
+    d = _smooth.rne(m, d)
+    d = _smooth.passive(m, d)
+    d = _smooth.actuation(m, d)
+    d = _smooth.fwd_velocity(m, d)
+    efc = _constraint.make_constraints(m, d)
+    d = _solver.solve(m, d, efc)
+    d = _sensors.sensordata(m, d)
   return d
 
 
@@ -180,4 +191,5 @@ def integrate(m: Model, d: Data) -> Data:
 def step(m: Model, d: Data) -> Data:
   """One physics step: forward dynamics + integration."""
   d = forward(m, d)
-  return integrate(m, d)
+  with jax.default_matmul_precision('highest'):
+    return integrate(m, d)

@@ -207,3 +207,20 @@ def test_perception_pipeline_contract(tmp_path):
   pipe.on_step_complete(1)
   assert (tmp_path / 'id_1.jpg').exists()
   cam.stop()
+
+
+def test_camera_config_from_deploy_yaml():
+  """The shipped deploy_ros config.yaml parses into a CameraConfig
+  (packaging parity: reference airbot_sim2real_sl/config/config.yaml)."""
+  import os
+
+  from rsr_mjx_tpu.deploy import perception
+
+  repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+  path = os.path.join(
+      repo, 'deploy_ros', 'airbot_rsr_deploy', 'config', 'config.yaml'
+  )
+  cfg = perception.CameraConfig.from_yaml(path)
+  assert cfg.intrinsics.shape == (3, 3)
+  assert cfg.distortion.shape == (5,)
+  assert cfg.tag_length == 0.04
