@@ -92,8 +92,10 @@ class AirbotCubePush(core.Env):
     # max_contacts > 0 enables top-k active-contact selection in the Newton
     # solver (exact as long as k ≥ simultaneously-touching contacts; the
     # cube scene has 480 pair slots but ≤ ~32 ever in contact — see
-    # test_topk_contact_selection_parity and scripts/contact_truncation.py).
-    # Pass max_contacts=0 for the full (no-selection) solve.
+    # test_topk_contact_selection_parity and
+    # test_contact_selection_parity_manipulation_regime in
+    # tests/test_physics_contact.py).  Pass max_contacts=0 for the full
+    # (no-selection) solve.
     self._model, self._mjm = physics.load_model_from_xml(
         xml, max_contacts=max_contacts
     )

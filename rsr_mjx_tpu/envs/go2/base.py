@@ -64,9 +64,9 @@ class Go2Env(core.Env):
     mjm.actuator_gainprm[:, 0] = config.Kp
     mjm.actuator_biasprm[:, 1] = -config.Kp
     if mjm.nhfield:
-      mjm.hfield_data[:] = go2_scene.rough_heightfield(
-          int(mjm.hfield_nrow[0]), int(mjm.hfield_ncol[0])
-      )
+      # the reference's compiled hfield.png elevations, byte-identical
+      # (scene_mjx_feetonly_rough_terrain.xml:18; round-3 VERDICT item 7)
+      mjm.hfield_data[:] = go2_scene.reference_heightfield()
     self._mjm = mjm
     self._model = physics.put_model(mjm)
     self._imu_site_id = name2id(self._model, 'site', 'imu')

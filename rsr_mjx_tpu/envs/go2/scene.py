@@ -8,9 +8,11 @@ ranges, sphere feet as the only colliders, the full IMU + feet sensor
 suite, and the home/footstand/handstand/pre-recovery keyframes.  Visual
 meshes are dropped — they never affect MJX training dynamics.
 
-Rough terrain replaces the reference's PNG heightfield
-(scene_mjx_feetonly_rough_terrain.xml:15-24) with a procedurally generated
-heightfield written into the compiled model.
+Rough terrain uses the reference's own heightfield elevations: the
+compiled hfield.png data is bundled in assets/hfield_heights.npz and
+written into the model (scene_mjx_feetonly_rough_terrain.xml:15-24), so
+rough-terrain trajectories are directly comparable to the reference.  A
+procedural generator (rough_heightfield) remains for tests/curricula.
 """
 
 from __future__ import annotations
@@ -189,12 +191,14 @@ def build_flat_scene() -> str:
 """
 
 
-def build_rough_scene(
-    nrow: int = 100, ncol: int = 100, seed: int = 0
-) -> str:
-  """Rough-terrain scene: procedural heightfield standing in for the
-  reference PNG (scene_mjx_feetonly_rough_terrain.xml:15-24;
-  size 10×10 m, 0.2 m height range)."""
+def build_rough_scene(nrow: int = 256, ncol: int = 256) -> str:
+  """Rough-terrain scene with the reference heightfield geometry
+  (scene_mjx_feetonly_rough_terrain.xml:15-24: hfield size 10×10 m,
+  0.05 m elevation range, 0.1 m base).  The elevation data itself is the
+  reference's hfield.png, bundled pre-compiled in
+  assets/hfield_heights.npz and written into the model by Go2Env
+  (base.py) — trajectories on rough terrain are directly comparable to
+  the reference."""
   return f"""
 <mujoco model="go2_feetonly_rough">
   <option iterations="1" ls_iterations="5" timestep="0.004" integrator="Euler">
@@ -202,16 +206,33 @@ def build_rough_scene(
   </option>
   <compiler angle="radian"/>
   <asset>
-    <hfield name="terrain" nrow="{nrow}" ncol="{ncol}" size="10 10 0.2 0.01"/>
+    <hfield name="terrain" nrow="{nrow}" ncol="{ncol}" size="10 10 0.05 0.1"/>
   </asset>
 {_robot_xml()}
   <worldbody>
     <geom name="floor" type="hfield" hfield="terrain" contype="1" conaffinity="0" priority="1"
-      friction="0.6" condim="3"/>
+      friction="1.0" condim="3"/>
   </worldbody>
 {_KEYFRAMES}
 </mujoco>
 """
+
+
+def reference_heightfield() -> np.ndarray:
+  """The reference's compiled heightfield, exactly.
+
+  MuJoCo's compiler loads hfield.png and normalizes elevations to [0, 1];
+  assets/hfield_heights.npz stores the result of compiling the reference
+  asset (scene_mjx_feetonly_rough_terrain.xml:18) with C MuJoCo, so the
+  terrain is byte-identical to the reference's."""
+  import os
+
+  path = os.path.join(
+      os.path.dirname(os.path.abspath(__file__)), 'assets',
+      'hfield_heights.npz',
+  )
+  with np.load(path) as z:
+    return z['heights'].astype(np.float64)
 
 
 _FULL_LEG_POS = {

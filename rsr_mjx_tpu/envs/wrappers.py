@@ -69,6 +69,102 @@ class EpisodeWrapper(Wrapper):
     return state.replace(done=done)
 
 
+class NonFiniteGuardWrapper(Wrapper):
+  """Quarantines numerically blown envs (round-4 containment).
+
+  The f32 contact solver can diverge at ~1e-5 per env-step under deep
+  multi-contact penetration (round-3 verdict, weak #2).  The reference
+  never needed this guard (f64 CUDA MJX; MuJoCo C contains the same
+  failure with its mjWARN_BADQACC auto-reset) — on TPU f32 it is
+  load-bearing: one NaN transition otherwise poisons the pmean'd gradient
+  and the params are permanently NaN within one epoch.
+
+  Placed between Episode and AutoReset: where qpos/qvel go non-finite or
+  |qvel| exceeds ``qvel_limit`` (MuJoCo mj_checkAcc semantics), the env is
+  marked done (termination, not truncation — the blown next state must
+  not be bootstrapped from), its reward is zeroed, and the state pytree is
+  sanitized so downstream masked math stays finite.  AutoReset then
+  restores the cached first state.  The trip count is exported as the
+  ``nonfinite`` metric.
+  """
+
+  def __init__(self, env: Env, qvel_limit: float = 1e3):
+    super().__init__(env)
+    self.qvel_limit = qvel_limit
+
+  def _blown(self, state: State) -> jax.Array:
+    blown = jnp.zeros(jnp.shape(state.reward), bool)
+    qpos = getattr(state.data, 'qpos', None)
+    qvel = getattr(state.data, 'qvel', None)
+    if qpos is not None and qvel is not None:
+      finite = jnp.all(jnp.isfinite(qpos), axis=-1) & jnp.all(
+          jnp.isfinite(qvel), axis=-1
+      )
+      # nan_to_num so the limit test itself is NaN-proof
+      speed = jnp.max(
+          jnp.abs(jnp.nan_to_num(qvel, nan=jnp.inf)), axis=-1
+      )
+      blown = (~finite) | (speed > self.qvel_limit)
+    # fold in non-finite obs/reward: a blown obs with finite qpos/qvel
+    # would otherwise reach the normalizer/policy
+    obs = state.obs
+    obs_leaves = obs.values() if isinstance(obs, dict) else [obs]
+    for leaf in obs_leaves:
+      blown = blown | ~jnp.all(jnp.isfinite(leaf), axis=-1)
+    blown = blown | ~jnp.isfinite(state.reward)
+    return blown
+
+  @staticmethod
+  def _sanitize(tree):
+    def f(x):
+      if isinstance(x, jax.Array) and jnp.issubdtype(x.dtype, jnp.floating):
+        return jnp.nan_to_num(x, nan=0.0, posinf=0.0, neginf=0.0)
+      return x
+
+    return jax.tree.map(f, tree)
+
+  def reset(self, rng: jax.Array) -> State:
+    state = self.env.reset(rng)
+    state.metrics['nonfinite'] = jnp.zeros_like(state.reward)
+    return state
+
+  def step(self, state: State, action: jax.Array) -> State:
+    # a blown action (NaN policy output) would corrupt ctrl before the
+    # guard sees the result; sanitize it on the way in
+    action = self._sanitize(action)
+    # strip the guard-owned metric before the inner step: inner envs build
+    # their metrics dict fresh, and EpisodeWrapper's action-repeat scan
+    # requires a structurally stable carry
+    inner_metrics = dict(state.metrics)
+    inner_metrics.pop('nonfinite', None)
+    state = self.env.step(state.replace(metrics=inner_metrics), action)
+    blown = self._blown(state)
+
+    def where_blown(x, y):
+      b = blown
+      if b.shape and x.ndim > b.ndim:
+        b = jnp.reshape(b, b.shape + (1,) * (x.ndim - b.ndim))
+      return jnp.where(b, x, y)
+
+    data = jax.tree.map(where_blown, self._sanitize(state.data), state.data)
+    obs = jax.tree.map(where_blown, self._sanitize(state.obs), state.obs)
+    reward = jnp.where(blown, jnp.zeros_like(state.reward), state.reward)
+    done = jnp.where(blown, jnp.ones_like(state.done), state.done)
+    metrics = self._sanitize(state.metrics)
+    metrics['nonfinite'] = blown.astype(reward.dtype)
+    info = dict(state.info)
+    if 'truncation' in info:
+      # blown termination is not a time-limit truncation: do not
+      # bootstrap the value function from the sanitized state
+      info['truncation'] = jnp.where(
+          blown, jnp.zeros_like(info['truncation']), info['truncation']
+      )
+    return state.replace(
+        data=data, obs=obs, reward=reward, done=done, metrics=metrics,
+        info=info,
+    )
+
+
 class AutoResetWrapper(Wrapper):
   """Reset to the cached first state where done (wrapper.py:117-138).
 
@@ -304,9 +400,10 @@ def wrap_for_training(
     action_repeat: int = 1,
     randomization_fn: Optional[Callable] = None,
     num_envs: Optional[int] = None,
+    qvel_limit: float = 1e3,
 ) -> Env:
-  """Standard training stack: [Vmap | DRVmap] → Episode → AutoReset
-  (wrapper.py:41-74 ordering)."""
+  """Standard training stack: [Vmap | DRVmap] → Episode → NonFiniteGuard
+  → AutoReset (wrapper.py:41-74 ordering + round-4 NaN quarantine)."""
   if randomization_fn is None:
     env = VmapWrapper(env, batch_size=num_envs)
   else:
@@ -315,6 +412,9 @@ def wrap_for_training(
   # step-state carries agree under ambient jax_enable_x64
   env = CanonicalDtypeWrapper(env)
   env = EpisodeWrapper(env, episode_length, action_repeat)
+  # guard between Episode and AutoReset: blown envs read done=1 here, so
+  # AutoReset restores the cached first state and quarantines them
+  env = NonFiniteGuardWrapper(env, qvel_limit=qvel_limit)
   env = AutoResetWrapper(env)
   env = StrongTypeWrapper(env)
   return env

@@ -613,8 +613,12 @@ def _make_collider(cfg: _ColliderCfg):
     return cv(*args), args
 
   def bwd(res, ct):
-    _, vjp = jax.vjp(raw, *res)
-    return vjp(ct)
+    # custom_vjp bwd fns are traced outside forward.py's
+    # default_matmul_precision('highest') context; re-establish it here so
+    # the TPU backward matmuls don't silently drop to bf16 (ADVICE r3)
+    with jax.default_matmul_precision('highest'):
+      _, vjp = jax.vjp(raw, *res)
+      return vjp(ct)
 
   collide.defvjp(fwd, bwd)
   return collide

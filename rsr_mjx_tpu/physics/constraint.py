@@ -15,7 +15,7 @@ loss and a joint-equality gripper coupling (cube.xml:49-93, :168-170).
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -112,6 +112,37 @@ def _selection_size(m: Model) -> int:
   return nsel
 
 
+def _condims_static(m: Model) -> np.ndarray:
+  """Static per-slot condim vector (ncon,)."""
+  return np.asarray(contact_condims(m), np.int32)
+
+
+_DMASK_CACHE: dict = {}
+
+
+def contact_dmask(m: Model) -> np.ndarray:
+  """Static (ncon, nv) relative dof mask anc_mask[b2] − anc_mask[b1], in
+  collision.py's slot order (rebuilt from m.pairs, no Data needed)."""
+  from rsr_mjx_tpu.physics.io import GROUP_NCON
+
+  key = (id(m.anc_mask), tuple((n, t) for n, t in m.pairs))
+  if key not in _DMASK_CACHE:
+    g1_parts, g2_parts = [], []
+    for name, tbl in m.pairs:
+      pairs = tbl.arr
+      if len(pairs) == 0:
+        continue
+      k = GROUP_NCON[name]
+      g1_parts.append(np.repeat(pairs[:, 0], k))
+      g2_parts.append(np.repeat(pairs[:, 1], k))
+    g1 = np.concatenate(g1_parts) if g1_parts else np.zeros(0, np.int32)
+    g2 = np.concatenate(g2_parts) if g2_parts else np.zeros(0, np.int32)
+    b1 = m.geom_bodyid.arr[g1]
+    b2 = m.geom_bodyid.arr[g2]
+    _DMASK_CACHE[key] = m.anc_mask.arr[b2] - m.anc_mask.arr[b1]
+  return _DMASK_CACHE[key]
+
+
 def layout_cached(m: Model) -> EfcLayout:
   key = (
       m.neq,
@@ -181,6 +212,63 @@ class Efc:
   kind: np.ndarray  # static (nefc,)
 
 
+class AssembleLeaves(NamedTuple):
+  """The traced leaves the assembly reads, as an explicit pytree so the
+  fused solver (solver.py) can route them through custom_vmap/custom_vjp —
+  model leaves must be explicit args there because domain randomization
+  batches them (wrappers.DomainRandomizationVmapWrapper)."""
+
+  qpos: jax.Array
+  qvel: jax.Array
+  cdof: jax.Array
+  cdof_anchor: jax.Array
+  con_dist: jax.Array
+  con_pos: jax.Array
+  con_frame: jax.Array
+  con_friction: jax.Array
+  con_solref: jax.Array
+  con_solimp: jax.Array
+  con_invweight: jax.Array
+  eq_data: jax.Array
+  qpos0: jax.Array
+  dof_invweight0: jax.Array
+  eq_solref: jax.Array
+  eq_solimp: jax.Array
+  dof_solref: jax.Array
+  dof_solimp: jax.Array
+  dof_frictionloss: jax.Array
+  jnt_range: jax.Array
+  jnt_solref: jax.Array
+  jnt_solimp: jax.Array
+  jnt_margin: jax.Array
+
+
+def gather_leaves(m: Model, d: Data) -> AssembleLeaves:
+  """Collect the assembly's traced inputs from (m, d).
+
+  ``con_invweight`` pre-gathers body_invweight0 over the static contact
+  geom ids so the fused path needs no per-model indexing."""
+  if m.ncon:
+    con = d.contact
+    g1 = con.geom1.arr
+    g2 = con.geom2.arr
+    b1 = m.geom_bodyid.arr[g1]
+    b2 = m.geom_bodyid.arr[g2]
+    con_invweight = m.body_invweight0[b1][:, 0] + m.body_invweight0[b2][:, 0]
+    con_fields = (con.dist, con.pos, con.frame, con.friction, con.solref,
+                  con.solimp, con_invweight)
+  else:
+    z = jnp.zeros((0,), dtype=d.qpos.dtype)
+    con_fields = (z, z.reshape(0, 3), z.reshape(0, 3, 3), z.reshape(0, 5),
+                  z.reshape(0, 2), z.reshape(0, 5), z)
+  return AssembleLeaves(
+      d.qpos, d.qvel, d.cdof, d.cdof_anchor, *con_fields,
+      m.eq_data, m.qpos0, m.dof_invweight0, m.eq_solref, m.eq_solimp,
+      m.dof_solref, m.dof_solimp, m.dof_frictionloss,
+      m.jnt_range, m.jnt_solref, m.jnt_solimp, m.jnt_margin,
+  )
+
+
 def make_constraints(m: Model, d: Data) -> Efc:
   """Assemble the traced constraint system for this step."""
   return _assemble(m, d)
@@ -203,8 +291,18 @@ def contact_overflow(m: Model, d: Data):
 
 
 def _assemble(m: Model, d: Data) -> Efc:
+  return assemble_from_leaves(m, gather_leaves(m, d))
+
+
+def assemble_from_leaves(m: Model, lv: AssembleLeaves) -> Efc:
+  """Per-env assembly from explicit traced leaves (static info from m).
+
+  This is the single source of truth for constraint-row semantics; the
+  vmapped batch-major path, the fused lanes path's reference, and the
+  fused solver's custom_vjp backward all call it.
+  """
   lay = layout_cached(m)
-  dtype = d.qpos.dtype
+  dtype = lv.qpos.dtype
   nv = m.nv
 
   J_rows = []
@@ -226,11 +324,11 @@ def _assemble(m: Model, d: Data) -> Efc:
     j1 = int(m.eq_obj1id[e])
     j2 = int(m.eq_obj2id[e])
     q1adr, v1adr = int(m.jnt_qposadr[j1]), int(m.jnt_dofadr[j1])
-    data = m.eq_data[e]
+    data = lv.eq_data[e]
     row = jnp.zeros(nv, dtype=dtype).at[v1adr].set(1.0)
     if j2 >= 0 and j2 < m.njnt and j2 != j1:
       q2adr, v2adr = int(m.jnt_qposadr[j2]), int(m.jnt_dofadr[j2])
-      dif = d.qpos[q2adr] - m.qpos0[q2adr]
+      dif = lv.qpos[q2adr] - lv.qpos0[q2adr]
       poly = (
           data[0]
           + data[1] * dif
@@ -244,16 +342,16 @@ def _assemble(m: Model, d: Data) -> Efc:
           + 3 * data[3] * dif**2
           + 4 * data[4] * dif**3
       )
-      pos = (d.qpos[q1adr] - m.qpos0[q1adr]) - poly
+      pos = (lv.qpos[q1adr] - lv.qpos0[q1adr]) - poly
       row = row.at[v2adr].set(-dpoly)
-      diagA = m.dof_invweight0[v1adr] + m.dof_invweight0[v2adr]
+      diagA = lv.dof_invweight0[v1adr] + lv.dof_invweight0[v2adr]
     else:
-      pos = d.qpos[q1adr] - m.qpos0[q1adr] - data[0]
-      diagA = m.dof_invweight0[v1adr]
+      pos = lv.qpos[q1adr] - lv.qpos0[q1adr] - data[0]
+      diagA = lv.dof_invweight0[v1adr]
     J_rows.append(row)
     pos_rows.append(pos)
-    solref_rows.append(m.eq_solref[e])
-    solimp_rows.append(m.eq_solimp[e])
+    solref_rows.append(lv.eq_solref[e])
+    solimp_rows.append(lv.eq_solimp[e])
     diagA_rows.append(diagA)
     floss_rows.append(zero)
     margin_rows.append(zero)
@@ -263,10 +361,10 @@ def _assemble(m: Model, d: Data) -> Efc:
   for v in range(nv):
     J_rows.append(eye[v])
     pos_rows.append(zero)
-    solref_rows.append(m.dof_solref[v])
-    solimp_rows.append(m.dof_solimp[v])
-    diagA_rows.append(m.dof_invweight0[v])
-    floss_rows.append(m.dof_frictionloss[v])
+    solref_rows.append(lv.dof_solref[v])
+    solimp_rows.append(lv.dof_solimp[v])
+    diagA_rows.append(lv.dof_invweight0[v])
+    floss_rows.append(lv.dof_frictionloss[v])
     margin_rows.append(zero)
 
   J_parts = [jnp.stack(J_rows)] if J_rows else []
@@ -285,9 +383,9 @@ def _assemble(m: Model, d: Data) -> Efc:
         raise NotImplementedError('ball/free limits')
     qadr = m.jnt_qposadr.arr[lim_j]
     vadr = m.jnt_dofadr.arr[lim_j]
-    lo = m.jnt_range[lim_j, 0]
-    hi = m.jnt_range[lim_j, 1]
-    q = d.qpos[qadr]
+    lo = lv.jnt_range[lim_j, 0]
+    hi = lv.jnt_range[lim_j, 1]
+    q = lv.qpos[qadr]
     # rows interleaved (lo, hi) per joint
     sign = jnp.tile(jnp.array([1.0, -1.0], dtype=dtype), len(lim_j))
     rows = jnp.repeat(eye[vadr], 2, axis=0) * sign[:, None]
@@ -295,23 +393,16 @@ def _assemble(m: Model, d: Data) -> Efc:
     posl = sign * (jnp.repeat(q, 2) - bound)
     J_parts.append(rows)
     pos_parts.append(posl)
-    solref_parts.append(jnp.repeat(m.jnt_solref[lim_j], 2, axis=0))
-    solimp_parts.append(jnp.repeat(m.jnt_solimp[lim_j], 2, axis=0))
-    diagA_parts.append(jnp.repeat(m.dof_invweight0[vadr], 2))
+    solref_parts.append(jnp.repeat(lv.jnt_solref[lim_j], 2, axis=0))
+    solimp_parts.append(jnp.repeat(lv.jnt_solimp[lim_j], 2, axis=0))
+    diagA_parts.append(jnp.repeat(lv.dof_invweight0[vadr], 2))
     floss_parts.append(jnp.zeros(2 * len(lim_j), dtype=dtype))
-    margin_parts.append(jnp.repeat(m.jnt_margin[lim_j], 2))
+    margin_parts.append(jnp.repeat(lv.jnt_margin[lim_j], 2))
 
   # ---- contacts (pyramidal cones), fully vectorized per condim group
   if m.ncon:
-    con = d.contact
-    g1 = con.geom1.arr
-    g2 = con.geom2.arr
-    b1 = m.geom_bodyid.arr[g1]
-    b2 = m.geom_bodyid.arr[g2]
-    dmask_all = jnp.asarray(
-        m.anc_mask.arr[b2] - m.anc_mask.arr[b1], dtype=dtype
-    )
-    invweight_all = m.body_invweight0[b1][:, 0] + m.body_invweight0[b2][:, 0]
+    dmask_all = jnp.asarray(contact_dmask(m), dtype=dtype)
+    invweight_all = lv.con_invweight
 
     nsel = _selection_size(m)
     if nsel:
@@ -329,18 +420,18 @@ def _assemble(m: Model, d: Data) -> Efc:
       # (nsel × ncon) @ (ncon × F) contraction that lands on the MXU.
       # One-hot weights make it an exact gather, and gradients flow
       # through the matmul to the contact features like any dot product.
-      _, sel_idx = jax.lax.top_k(-con.dist, nsel)
+      _, sel_idx = jax.lax.top_k(-lv.con_dist, nsel)
       onehot = (
           sel_idx[:, None] == jnp.arange(m.ncon, dtype=sel_idx.dtype)
       ).astype(dtype)  # (nsel, ncon)
       feat = jnp.concatenate(
           [
-              con.dist[:, None],
-              con.pos,
-              con.frame.reshape(m.ncon, 9),
-              con.friction,
-              con.solref,
-              con.solimp,
+              lv.con_dist[:, None],
+              lv.con_pos,
+              lv.con_frame.reshape(m.ncon, 9),
+              lv.con_friction,
+              lv.con_solref,
+              lv.con_solimp,
               invweight_all[:, None],
           ],
           axis=1,
@@ -354,21 +445,23 @@ def _assemble(m: Model, d: Data) -> Efc:
       c_solimp = sel[:, 20:25]
       invweight = sel[:, 25]
       dmask = onehot @ dmask_all  # (nsel, nv); dmask_all is static numpy
-      groups = [(int(con.condim.arr[0]), slice(None))]
+      groups = [(int(_condims_static(m)[0]), slice(None))]
     else:
-      c_dist, c_pos, c_frame = con.dist, con.pos, con.frame
-      c_friction, c_solref, c_solimp = con.friction, con.solref, con.solimp
+      c_dist, c_pos, c_frame = lv.con_dist, lv.con_pos, lv.con_frame
+      c_friction, c_solref, c_solimp = (
+          lv.con_friction, lv.con_solref, lv.con_solimp
+      )
       dmask, invweight = dmask_all, invweight_all
-      condim_arr = con.condim.arr
+      condim_arr = _condims_static(m)
       groups = [
           (cd, np.nonzero(condim_arr == cd)[0])
           for cd in sorted(set(int(x) for x in condim_arr))
       ]
 
     # translational jacobian of contact point on each body: (nc, nv, 3)
-    ang = d.cdof[:, :3]
-    lin = d.cdof[:, 3:]
-    rel = c_pos[:, None, :] - d.cdof_anchor[None, :, :]
+    ang = lv.cdof[:, :3]
+    lin = lv.cdof[:, 3:]
+    rel = c_pos[:, None, :] - lv.cdof_anchor[None, :, :]
     jac_t = lin[None] + jnp.cross(
         jnp.broadcast_to(ang[None], rel.shape), rel
     )
@@ -441,7 +534,7 @@ def _assemble(m: Model, d: Data) -> Efc:
   # clearly separated rows to keep the Newton Hessian well-behaved.
   imp = _impedance(solimp, pos - margin)
   k, b = _kbi(solref, solimp, pos, solimp[:, 1])
-  vel = J @ d.qvel
+  vel = J @ lv.qvel
   aref = -b * vel - k * imp * (pos - margin)
   R = jnp.maximum(_MJ_MINVAL, (1.0 - imp) / jnp.maximum(imp, _MJ_MINVAL) * diagA)
   D = 1.0 / R

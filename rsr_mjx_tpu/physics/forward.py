@@ -112,8 +112,9 @@ def forward(m: Model, d: Data) -> Data:
     d = _smooth.passive(m, d)
     d = _smooth.actuation(m, d)
     d = _smooth.fwd_velocity(m, d)
-    efc = _constraint.make_constraints(m, d)
-    d = _solver.solve(m, d, efc)
+    # fused assembly + Newton solve: the batched TPU path runs lanes-layout
+    # assembly straight into the lanes Newton kernel (no batch-major J)
+    d = _solver.solve_fused(m, d)
     d = _sensors.sensordata(m, d)
   return d
 

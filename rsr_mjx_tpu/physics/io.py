@@ -130,11 +130,22 @@ def _collision_pairs(mjm: mujoco.MjModel):
         condim = max(int(mjm.geom_condim[g1]), int(mjm.geom_condim[g2]))
       groups[name].append((a, b, condim))
 
-  # explicit <pair> entries (mjm.pair_*) override condim; append them
+  # Explicit <pair> entries (mjm.pair_*): only pair_dim (condim) is
+  # honored; pair_friction/solref/solimp are recomputed from geom params,
+  # a deviation from MuJoCo explicit-pair semantics.  Benign for the Go2
+  # condim=1 self-collision pairs this path serves; a frictional explicit
+  # pair with custom solparams would need them threaded into the contact
+  # assembly (ADVICE r3).
   for i in range(mjm.npair):
     g1, g2 = int(mjm.pair_geom1[i]), int(mjm.pair_geom2[i])
     t1, t2 = int(mjm.geom_type[g1]), int(mjm.geom_type[g2])
-    name, swap = _pair_group(t1, t2)
+    got = _pair_group(t1, t2)
+    if got is None:
+      raise NotImplementedError(
+          f'unsupported geom type pair ({t1},{t2}) in explicit <pair> '
+          f'for geoms {g1},{g2}'
+      )
+    name, swap = got
     a, b = (g2, g1) if swap else (g1, g2)
     groups[name].append((a, b, int(mjm.pair_dim[i])))
 

@@ -227,6 +227,19 @@ def _penalty_se(r, D, floss, onesided_m, fric_m):
   return s_grad, s_curv
 
 
+def _penalty_cost_rows(r, D, floss, onesided_m, fric_m):
+  """Per-row penalty cost sᵢ(rᵢ), (R, E) — for the in-kernel accept test."""
+  active = (r < 0) | (onesided_m <= 0)
+  quad = 0.5 * D * r * r
+  lim = jnp.where(fric_m > 0, floss, 1e30)
+  in_quad = jnp.abs(D * r) <= lim
+  tail = floss * jnp.abs(r) - 0.5 * floss * floss / jnp.maximum(D, 1e-12)
+  cost = jnp.where(in_quad, quad, tail)
+  cost = jnp.where(active, cost, 0.0)
+  cost = jnp.where((fric_m > 0) & (floss <= 0), 0.0, cost)
+  return cost
+
+
 def _newton_kernel(
     nv: int,
     R: int,
@@ -289,7 +302,13 @@ def _newton_kernel(
       tri_rows.append(vals)
     T = jnp.stack(tri_rows, axis=0)  # lower-tri-in-rows: T[a, b≥a]
     H = T + jnp.swapaxes(T, 0, 1) - eye * T
-    H = H + M + eye * 1e-9
+    H = H + M
+    # Scale-aware Tikhonov regularization (round-4 f32 hardening): an
+    # absolute 1e-9 is invisible next to contact-stiffness diagonal
+    # entries of ~1e6, leaving the f32 Cholesky free to break down under
+    # deep multi-contact penetration — the round-3 divergence root cause.
+    dmax = jnp.max(jnp.max(H * eye, axis=0), axis=0, keepdims=True)  # (1, E)
+    H = H + eye * (1e-6 * dmax + 1e-12)[None]
 
     cols, djs = _chol_cols(H, nv, 1e-12)
     dx = -_cho_solve_cols(cols, djs, grad, nv)
@@ -306,7 +325,19 @@ def _newton_kernel(
       dphi = g0 + t * h0 + jnp.sum(sg * jdx, axis=0, keepdims=True)
       ddphi = h0 + jnp.sum(sc * jdx * jdx, axis=0, keepdims=True)
       t = jnp.clip(t - dphi / jnp.maximum(ddphi, 1e-12), 0.0, 4.0)
-    x = x + t * dx
+    # Monotone accept: take the step only if it strictly decreases the
+    # cost Δφ(t) = t·g0 + t²/2·h0 + Σs(r+t·jdx) − Σs(r).  A garbage
+    # direction from a borderline f32 factorization is rejected (NaN
+    # deltas compare false), so the iteration can never inject energy.
+    s_old = jnp.sum(
+        _penalty_cost_rows(r, Dv, fl, ones_m, fric_m), axis=0, keepdims=True
+    )
+    s_new = jnp.sum(
+        _penalty_cost_rows(r + t * jdx, Dv, fl, ones_m, fric_m),
+        axis=0, keepdims=True,
+    )
+    delta = t * g0 + 0.5 * t * t * h0 + s_new - s_old
+    x = jnp.where(delta < 0, x + t * dx, x)
 
   r = matvec_J(x) - aref
   s_grad, _ = _penalty_se(r, Dv, fl, ones_m, fric_m)
@@ -330,27 +361,27 @@ def newton_kernel_fits(nv: int, nefc: int) -> bool:
   return per_lane_bytes * _BE <= 10 * 1024 * 1024
 
 
-def newton_solve_batched(
+def _newton_lanes_core(
     kind: np.ndarray,
     iterations: int,
     ls_iterations: int,
-    M: jax.Array,
-    a0: jax.Array,
-    x0: jax.Array,
-    J: jax.Array,
-    aref: jax.Array,
-    D: jax.Array,
-    floss: jax.Array,
+    Mt: jax.Array,
+    a0t: jax.Array,
+    x0t: jax.Array,
+    Jt: jax.Array,
+    areft: jax.Array,
+    Dt: jax.Array,
+    flt: jax.Array,
 ):
-  """Batched fused Newton solve on TPU.
+  """Pallas Newton solve on LANES-layout inputs.
 
-  Args are batch-major: M (B, nv, nv), a0/x0 (B, nv), J (B, R0, nv),
-  aref/D/floss (B, R0); ``kind`` is the static (R0,) row-kind vector.
-  Returns (x, force, qfrc_constraint) batch-major.
-  """
+  Mt (nv, nv, B), a0t/x0t (nv, B), Jt (nv, R0, B), areft/Dt/flt (R0, B).
+  Pads rows to a multiple of 8 (inert friction rows) and lanes to a
+  multiple of 128 (identity systems).  Returns lanes outputs
+  (xt (nv, B), ft (R0, B), qft (nv, B))."""
   from rsr_mjx_tpu.physics import constraint as _constraint
 
-  B, R0, nv = J.shape
+  nv, R0, B = Jt.shape
   R = _round_up(max(R0, 8), 8)
   if not newton_kernel_fits(nv, R0):
     raise ValueError(
@@ -366,16 +397,6 @@ def newton_solve_batched(
     pad = R - R0
     onesided = np.concatenate([onesided, np.zeros(pad, bool)])
     fric = np.concatenate([fric, np.ones(pad, bool)])
-
-  Jt = jnp.transpose(J, (2, 1, 0))  # (nv, R0, B)
-  Mt = jnp.transpose(M, (1, 2, 0))
-  a0t = jnp.transpose(a0, (1, 0))
-  x0t = jnp.transpose(x0, (1, 0))
-  areft = jnp.transpose(aref, (1, 0))
-  Dt = jnp.transpose(D, (1, 0))
-  flt = jnp.transpose(floss, (1, 0))
-
-  if R != R0:
     zrow = lambda a: jnp.concatenate(
         [a, jnp.zeros((R - R0,) + a.shape[1:], a.dtype)], axis=0
     )
@@ -386,7 +407,7 @@ def newton_solve_batched(
   if Bp != B:
     pad = Bp - B
     eye = jnp.broadcast_to(
-        jnp.eye(nv, dtype=M.dtype)[:, :, None], (nv, nv, pad)
+        jnp.eye(nv, dtype=Mt.dtype)[:, :, None], (nv, nv, pad)
     )
     Mt = jnp.concatenate([Mt, eye], axis=-1)
     zlane = lambda a: jnp.concatenate(
@@ -414,9 +435,9 @@ def newton_solve_batched(
   xt, ft, qft = pl.pallas_call(
       kernel,
       out_shape=(
-          jax.ShapeDtypeStruct((nv, Bp), M.dtype),
-          jax.ShapeDtypeStruct((R, Bp), M.dtype),
-          jax.ShapeDtypeStruct((nv, Bp), M.dtype),
+          jax.ShapeDtypeStruct((nv, Bp), Mt.dtype),
+          jax.ShapeDtypeStruct((R, Bp), Mt.dtype),
+          jax.ShapeDtypeStruct((nv, Bp), Mt.dtype),
       ),
       grid=(Bp // BE,),
       in_specs=[
@@ -436,7 +457,63 @@ def newton_solve_batched(
       interpret=_INTERPRET,
   )(Mt, a0t, x0t, Jt, areft, Dt, flt, ones_in, fric_in)
 
-  x = jnp.transpose(xt[:, :B], (1, 0))
-  force = jnp.transpose(ft[:R0, :B], (1, 0))
-  qfrc = jnp.transpose(qft[:, :B], (1, 0))
-  return x, force, qfrc
+  return xt[:, :B], ft[:R0, :B], qft[:, :B]
+
+
+def newton_solve_lanes(
+    kind: np.ndarray,
+    iterations: int,
+    ls_iterations: int,
+    M: jax.Array,
+    a0: jax.Array,
+    x0: jax.Array,
+    J_l: jax.Array,
+    aref_l: jax.Array,
+    D_l: jax.Array,
+    floss_l: jax.Array,
+):
+  """Fused Newton solve with a lanes-layout constraint system.
+
+  M (B, nv, nv), a0/x0 (B, nv) batch-major; J_l (nv, R0, B),
+  aref_l/D_l/floss_l (R0, B) straight from lanes_assembly — no J
+  transpose round trip.  Returns (x, force, qfrc) batch-major.
+  """
+  Mt = jnp.transpose(M, (1, 2, 0))
+  a0t = jnp.transpose(a0, (1, 0))
+  x0t = jnp.transpose(x0, (1, 0))
+  xt, ft, qft = _newton_lanes_core(
+      kind, iterations, ls_iterations, Mt, a0t, x0t, J_l, aref_l, D_l,
+      floss_l,
+  )
+  return (
+      jnp.transpose(xt, (1, 0)),
+      jnp.transpose(ft, (1, 0)),
+      jnp.transpose(qft, (1, 0)),
+  )
+
+
+def newton_solve_batched(
+    kind: np.ndarray,
+    iterations: int,
+    ls_iterations: int,
+    M: jax.Array,
+    a0: jax.Array,
+    x0: jax.Array,
+    J: jax.Array,
+    aref: jax.Array,
+    D: jax.Array,
+    floss: jax.Array,
+):
+  """Batched fused Newton solve on TPU.
+
+  Args are batch-major: M (B, nv, nv), a0/x0 (B, nv), J (B, R0, nv),
+  aref/D/floss (B, R0); ``kind`` is the static (R0,) row-kind vector.
+  Returns (x, force, qfrc_constraint) batch-major.
+  """
+  Jt = jnp.transpose(J, (2, 1, 0))  # (nv, R0, B)
+  areft = jnp.transpose(aref, (1, 0))
+  Dt = jnp.transpose(D, (1, 0))
+  flt = jnp.transpose(floss, (1, 0))
+  return newton_solve_lanes(
+      kind, iterations, ls_iterations, M, a0, x0, Jt, areft, Dt, flt
+  )

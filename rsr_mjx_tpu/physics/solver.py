@@ -95,8 +95,17 @@ def _penalty_cost(kind: np.ndarray, D, floss, r):
 
 def _newton_forward(kind, iterations, ls_iterations, tolerance,
                     M, a0, x0, J, aref, D, floss):
-  """Per-env adaptive Newton (XLA base path)."""
-  eye = jnp.eye(M.shape[0], dtype=M.dtype) * 1e-9
+  """Per-env adaptive Newton (XLA base path).
+
+  f32 robustness (round-4 hardening — the round-3 verdict's on-chip
+  diagnosis showed this path diverging under deep gripper-cube contact):
+  the Hessian regularization scales with the Hessian diagonal (an absolute
+  1e-9 is invisible next to contact-stiffness rows of ~1e6, leaving the
+  f32 Cholesky free to break down), and a Newton step is accepted only if
+  it strictly decreases the cost — a garbage direction from a borderline
+  factorization can no longer be integrated.
+  """
+  eye = jnp.eye(M.shape[0], dtype=M.dtype)
 
   def total_cost(x):
     r = J @ x - aref
@@ -109,7 +118,9 @@ def _newton_forward(kind, iterations, ls_iterations, tolerance,
     s_grad, s_curv = _penalty_terms(kind, D, floss, r)
     grad = M @ (x - a0) + J.T @ s_grad
     H = M + (J.T * s_curv) @ J
-    chol = jax.scipy.linalg.cholesky(H + eye, lower=True)
+    # scale-aware Tikhonov: bounds the condition number near f32 limits
+    reg = 1e-6 * jnp.max(jnp.diagonal(H)) + 1e-12
+    chol = jax.scipy.linalg.cholesky(H + reg * eye, lower=True)
     dx = -jax.scipy.linalg.cho_solve((chol, True), grad)
 
     # 1-D Newton line search over the piecewise-quadratic φ(t)
@@ -144,7 +155,12 @@ def _newton_forward(kind, iterations, ls_iterations, tolerance,
     x, cost, i, _ = carry
     x_new = newton_iter(x)
     cost_new = total_cost(x_new)
-    return x_new, cost_new, i + 1, cost - cost_new
+    # monotone accept: reject cost-increasing (or NaN — compares false)
+    # steps; the rejected improvement ≤ 0 then exits the while_loop
+    accept = cost_new < cost
+    x_keep = jnp.where(accept, x_new, x)
+    cost_keep = jnp.where(accept, cost_new, cost)
+    return x_keep, cost_keep, i + 1, cost - cost_new
 
   carry0 = (x0, total_cost(x0), jnp.zeros((), jnp.int32),
             jnp.asarray(jnp.inf, M.dtype))
@@ -262,53 +278,202 @@ def _get_solver(kind_key: _KindKey, iterations: int, ls_iterations: int,
     the IFT path through x*.  Per-env math — custom_vjp batches it under
     vmap, and the inner H-solve dispatches to the Pallas SPD kernel.
     """
-    M, a0, J, aref, D, floss, x = res
-    x_bar, F_bar, Q_bar = cts
-    kind_arr = jnp.asarray(kind)
-    onesided = (kind_arr == _constraint.LIMIT) | (
-        kind_arr == _constraint.CONTACT
-    )
-    friction = kind_arr == _constraint.FRICTION
-
-    r = J @ x - aref
-    s_grad, s_curv = _penalty_terms(kind, D, floss, r)
-    active = jnp.where(onesided, r < 0, True)
-    in_quad = jnp.abs(D * r) <= jnp.where(friction, floss, jnp.inf)
-    quad_zone = active & in_quad
-    sat_fric = friction & active & ~in_quad
-
-    # --- explicit paths through Q = JᵀF and F = −ŝ(r*; D, floss)
-    F = -s_grad
-    F_t = F_bar + J @ Q_bar                       # total force cotangent
-    J_bar = F[:, None] * Q_bar[None, :]           # ∂Q/∂J
-    r_bar = -s_curv * F_t                         # ∂F/∂r
-    D_bar = -F_t * jnp.where(quad_zone, r, 0.0)   # ∂F/∂D
-    floss_bar = -F_t * jnp.where(sat_fric, jnp.sign(r), 0.0)
-    # r* = Jx* − aref
-    J_bar = J_bar + r_bar[:, None] * x[None, :]
-    aref_bar = -r_bar
-    x_t = x_bar + J.T @ r_bar                     # total solution cotangent
-
-    # --- IFT path: θ̄ += −(∂g/∂θ)ᵀ H⁻¹ x̄_t
-    H = M + (J.T * s_curv) @ J
-    eye = jnp.eye(M.shape[0], dtype=M.dtype) * 1e-9
-    w = _lk.spd_solve(H + eye, x_t)
-    Jw = J @ w
-    xa = x - a0
-
-    M_bar = -w[:, None] * xa[None, :]
-    a0_bar = M @ w
-    aref_bar = aref_bar + s_curv * Jw
-    J_bar = J_bar - (
-        s_grad[:, None] * w[None, :] + (s_curv * Jw)[:, None] * x[None, :]
-    )
-    D_bar = D_bar - Jw * jnp.where(quad_zone, r, 0.0)
-    floss_bar = floss_bar - Jw * jnp.where(sat_fric, jnp.sign(r), 0.0)
-    x0_bar = jnp.zeros_like(a0_bar)
-    return M_bar, a0_bar, x0_bar, J_bar, aref_bar, D_bar, floss_bar
+    # bwd fns are traced outside forward.py's matmul-precision context;
+    # re-establish it so the IFT matmuls (H assembly, J@x, JᵀF) don't
+    # drop to bf16 on TPU and corrupt env-param tuning grads (ADVICE r3)
+    with jax.default_matmul_precision('highest'):
+      return _ift_cotangents(kind, res, cts)
 
   solve3.defvjp(solve3_fwd, solve3_bwd)
   return solve3
+
+
+def _ift_cotangents(kind, res, cts):
+  """Shared IFT backward math for solve3 and the fused solver (per-env)."""
+  M, a0, J, aref, D, floss, x = res
+  x_bar, F_bar, Q_bar = cts
+  kind_arr = jnp.asarray(kind)
+  onesided = (kind_arr == _constraint.LIMIT) | (
+      kind_arr == _constraint.CONTACT
+  )
+  friction = kind_arr == _constraint.FRICTION
+
+  r = J @ x - aref
+  s_grad, s_curv = _penalty_terms(kind, D, floss, r)
+  active = jnp.where(onesided, r < 0, True)
+  in_quad = jnp.abs(D * r) <= jnp.where(friction, floss, jnp.inf)
+  quad_zone = active & in_quad
+  sat_fric = friction & active & ~in_quad
+
+  # --- explicit paths through Q = JᵀF and F = −ŝ(r*; D, floss)
+  F = -s_grad
+  F_t = F_bar + J @ Q_bar                       # total force cotangent
+  J_bar = F[:, None] * Q_bar[None, :]           # ∂Q/∂J
+  r_bar = -s_curv * F_t                         # ∂F/∂r
+  D_bar = -F_t * jnp.where(quad_zone, r, 0.0)   # ∂F/∂D
+  floss_bar = -F_t * jnp.where(sat_fric, jnp.sign(r), 0.0)
+  # r* = Jx* − aref
+  J_bar = J_bar + r_bar[:, None] * x[None, :]
+  aref_bar = -r_bar
+  x_t = x_bar + J.T @ r_bar                     # total solution cotangent
+
+  # --- IFT path: θ̄ += −(∂g/∂θ)ᵀ H⁻¹ x̄_t
+  H = M + (J.T * s_curv) @ J
+  # scale-aware Tikhonov (matches the forward solves' f32 hardening)
+  reg = 1e-6 * jnp.max(jnp.diagonal(H)) + 1e-12
+  eye = jnp.eye(M.shape[0], dtype=M.dtype) * reg
+  w = _lk.spd_solve(H + eye, x_t)
+  Jw = J @ w
+  xa = x - a0
+
+  M_bar = -w[:, None] * xa[None, :]
+  a0_bar = M @ w
+  aref_bar = aref_bar + s_curv * Jw
+  J_bar = J_bar - (
+      s_grad[:, None] * w[None, :] + (s_curv * Jw)[:, None] * x[None, :]
+  )
+  D_bar = D_bar - Jw * jnp.where(quad_zone, r, 0.0)
+  floss_bar = floss_bar - Jw * jnp.where(sat_fric, jnp.sign(r), 0.0)
+  x0_bar = jnp.zeros_like(a0_bar)
+  return M_bar, a0_bar, x0_bar, J_bar, aref_bar, D_bar, floss_bar
+
+
+# ---------------------------------------------------------------------------
+# Fused assembly + solve (round-4 perf work).
+#
+# The vmapped batch-major assembly wastes lanes on (B, ncon, nv, 3)-shaped
+# intermediates and forces a J transpose round trip at the kernel boundary
+# (PROFILE.md bottleneck #1: 2.15 ms of the 3.59 ms substep at B=1024).
+# Fusing assembly into the solver's custom_vmap lets the batched TPU path
+# run the whole chain — lanes assembly (physics/lanes_assembly.py) →
+# lanes Newton kernel — without ever materializing a batch-major J.
+#
+# Model leaves the assembly reads travel as explicit args
+# (constraint.AssembleLeaves) because domain randomization batches them;
+# gradients use the same IFT math as solve3 plus jax.vjp back through the
+# per-env assembly, preserving the env_params_tuning property.
+# ---------------------------------------------------------------------------
+
+_FUSED_CACHE: dict = {}
+
+
+def _build_fused(m: Model):
+  lay = _constraint.layout_cached(m)
+  kind = lay.kind
+  iterations = max(m.opt.iterations, 1)
+  ls_iterations = max(m.opt.ls_iterations, 1)
+  tolerance = float(getattr(m.opt, 'tolerance', 1e-8))
+  ls_eff = max(min(ls_iterations, 8), 1)
+  kernel_iters = max(min(iterations, 8), 1)  # see _get_solver note
+  nv = m.nv
+
+  def base(lv, M, a0, x0):
+    efc = _constraint.assemble_from_leaves(m, lv)
+    x = _newton_forward(
+        kind, iterations, ls_iterations, tolerance,
+        M, a0, x0, efc.J, efc.aref, efc.D, efc.floss,
+    )
+    force, qfrc = _forces_at(
+        kind, M, a0, efc.J, efc.aref, efc.D, efc.floss, x
+    )
+    return x, force, qfrc
+
+  def _lanes_path(lv, M, a0, x0):
+    from rsr_mjx_tpu.physics import lanes_assembly as _lanes
+
+    J_l, aref_l, D_l, floss_l = _lanes.assemble_lanes(m, lv)
+    return _lk.newton_solve_lanes(
+        kind, kernel_iters, ls_eff, M, a0, x0, J_l, aref_l, D_l, floss_l
+    )
+
+  @custom_vmap
+  def primal(lv, M, a0, x0):
+    return base(lv, M, a0, x0)
+
+  @primal.def_vmap
+  def _primal_vmap(axis_size, in_batched, lv, M, a0, x0):
+    lv_b, M_b, a0_b, x0_b = in_batched
+    bcast = lambda a, b: (
+        a if b else jnp.broadcast_to(a, (axis_size,) + a.shape)
+    )
+    lv = _constraint.AssembleLeaves(
+        *(bcast(a, b) for a, b in zip(lv, lv_b))
+    )
+    M, a0, x0 = bcast(M, M_b), bcast(a0, a0_b), bcast(x0, x0_b)
+    fits = _lk.newton_kernel_fits(nv, lay.nefc)
+    use_kernel = (
+        _lk._use_tpu_kernels() and fits and M.dtype == jnp.float32
+    )
+    if use_kernel and M.ndim == 3:
+      out = _lanes_path(lv, M, a0, x0)
+    elif use_kernel and M.ndim == 4:
+      # nested vmap: flatten the two leading batch dims into one
+      b1, b2 = M.shape[:2]
+      flat = lambda a: a.reshape((b1 * b2,) + a.shape[2:])
+      lvf = _constraint.AssembleLeaves(*(flat(a) for a in lv))
+      out = _lanes_path(lvf, flat(M), flat(a0), flat(x0))
+      out = tuple(o.reshape((b1, b2) + o.shape[1:]) for o in out)
+    else:
+      out = jax.vmap(base)(lv, M, a0, x0)
+    return out, (True, True, True)
+
+  @jax.custom_vjp
+  def fused(lv, M, a0, x0):
+    return primal(lv, M, a0, x0)
+
+  def fused_fwd(lv, M, a0, x0):
+    out = primal(lv, M, a0, x0)
+    return out, (lv, M, a0, out[0])
+
+  def fused_bwd(res, cts):
+    lv, M, a0, x = res
+    with jax.default_matmul_precision('highest'):
+      def efc_fn(lv1):
+        efc = _constraint.assemble_from_leaves(m, lv1)
+        return efc.J, efc.aref, efc.D, efc.floss
+
+      (J, aref, D, floss), efc_vjp = jax.vjp(efc_fn, lv)
+      M_bar, a0_bar, x0_bar, J_bar, aref_bar, D_bar, floss_bar = (
+          _ift_cotangents(kind, (M, a0, J, aref, D, floss, x), cts)
+      )
+      (lv_bar,) = efc_vjp((J_bar, aref_bar, D_bar, floss_bar))
+    return lv_bar, M_bar, a0_bar, x0_bar
+
+  fused.defvjp(fused_fwd, fused_bwd)
+  return fused
+
+
+def solve_fused(m: Model, d: Data) -> Data:
+  """Assembly + Newton solve, fused; fills qacc, qfrc_constraint, efc_force.
+
+  Drop-in replacement for make_constraints + solve on the forward path;
+  the batched TPU path never materializes a batch-major J.
+  """
+  lay = _constraint.layout_cached(m)
+  if lay.nefc == 0:
+    return d.replace(
+        qacc=d.qacc_smooth,
+        qfrc_constraint=jnp.zeros(m.nv, dtype=d.qpos.dtype),
+    )
+  entry = _FUSED_CACHE.get(id(m))
+  if entry is None:
+    entry = (_build_fused(m), m)  # keep m alive so id() stays unique
+    _FUSED_CACHE[id(m)] = entry
+  fused = entry[0]
+
+  lv = _constraint.gather_leaves(m, d)
+  x0 = jax.lax.stop_gradient(d.qacc)
+  x, force, qfrc_constraint = fused(lv, d.qM, d.qacc_smooth, x0)
+  # Final containment — see solve() below.
+  ok = jnp.all(jnp.isfinite(x)) & jnp.all(jnp.isfinite(qfrc_constraint))
+  x = jnp.where(ok, x, d.qacc_smooth)
+  force = jnp.where(ok, force, jnp.zeros_like(force))
+  qfrc_constraint = jnp.where(
+      ok, qfrc_constraint, jnp.zeros_like(qfrc_constraint)
+  )
+  return d.replace(
+      qacc=x, qfrc_constraint=qfrc_constraint, efc_force=force
+  )
 
 
 def solve(m: Model, d: Data, efc: _constraint.Efc) -> Data:
@@ -333,6 +498,19 @@ def solve(m: Model, d: Data, efc: _constraint.Efc) -> Data:
   x0 = jax.lax.stop_gradient(d.qacc)
   x, force, qfrc_constraint = solver(
       d.qM, d.qacc_smooth, x0, efc.J, efc.aref, efc.D, efc.floss
+  )
+  # Final containment (round-4): if a solve still produced non-finite
+  # output despite the monotone-accept iteration (e.g. a non-finite warm
+  # start or constraint row from an already-blown state), fall back to the
+  # unconstrained smooth dynamics for that env instead of propagating NaN
+  # into the integrator.  The env-level NonFiniteGuardWrapper then
+  # quarantines the env.  MuJoCo C's equivalent is the mjWARN_BADQACC
+  # reset (engine_forward.c mj_checkAcc).
+  ok = jnp.all(jnp.isfinite(x)) & jnp.all(jnp.isfinite(qfrc_constraint))
+  x = jnp.where(ok, x, d.qacc_smooth)
+  force = jnp.where(ok, force, jnp.zeros_like(force))
+  qfrc_constraint = jnp.where(
+      ok, qfrc_constraint, jnp.zeros_like(qfrc_constraint)
   )
   return d.replace(
       qacc=x, qfrc_constraint=qfrc_constraint, efc_force=force

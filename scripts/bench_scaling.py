@@ -30,11 +30,71 @@ flags.DEFINE_integer('reps', 3, 'Timed repetitions.')
 flags.DEFINE_list('device_counts', None,
                   'Mesh sizes to sweep (default: 1 and all).')
 flags.DEFINE_boolean('multihost', False, 'jax.distributed.initialize().')
+flags.DEFINE_string('coordinator', None,
+                    'host:port for jax.distributed (spoofed multi-host).')
+flags.DEFINE_integer('num_processes', None, 'Process count (with '
+                     '--coordinator).')
+flags.DEFINE_integer('process_id', None, 'This rank (with --coordinator).')
+flags.DEFINE_boolean(
+    'spawn_two_process', False,
+    'Orchestrate a 2-process spoofed CPU cluster (4 devices each, '
+    'the tests/test_multihost_spoof.py machinery) and run the sweep '
+    'over the global 8-device mesh.')
+
+
+def _spawn_two_process():
+  """Relaunch this script twice as a spoofed jax.distributed cluster."""
+  import socket
+  import subprocess
+  import sys as _sys
+
+  with socket.socket() as s:
+    s.bind(('localhost', 0))
+    port = str(s.getsockname()[1])
+  env = dict(os.environ)
+  env['JAX_PLATFORMS'] = 'cpu'
+  env['XLA_FLAGS'] = '--xla_force_host_platform_device_count=4'
+  base = [
+      _sys.executable, os.path.abspath(__file__),
+      f'--env={FLAGS.env}',
+      f'--envs_per_device={FLAGS.envs_per_device}',
+      f'--steps={FLAGS.steps}',
+      f'--reps={FLAGS.reps}',
+      '--device_counts=8',
+      f'--coordinator=localhost:{port}',
+      '--num_processes=2',
+  ]
+  procs = [
+      subprocess.Popen(
+          base + [f'--process_id={pid}'],
+          stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+      )
+      for pid in (0, 1)
+  ]
+  outs = [p.communicate()[0].decode(errors='replace') for p in procs]
+  for pid, (p, out) in enumerate(zip(procs, outs)):
+    if p.returncode != 0:
+      raise RuntimeError(f'rank {pid} failed:\n{out[-3000:]}')
+  # rank 0 prints the global result lines
+  for line in outs[0].splitlines():
+    if line.startswith('{'):
+      print(line, flush=True)
 
 
 def main(argv):
   del argv
-  if FLAGS.multihost:
+  if FLAGS.spawn_two_process:
+    _spawn_two_process()
+    return
+  if FLAGS.coordinator is not None:
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=FLAGS.coordinator,
+        num_processes=FLAGS.num_processes,
+        process_id=FLAGS.process_id,
+    )
+  elif FLAGS.multihost:
     import jax
 
     jax.distributed.initialize()
@@ -58,6 +118,7 @@ def main(argv):
       else sorted({1, len(all_devices)})
   )
 
+  process_count = jax.process_count()
   for n_dev in counts:
     devices = all_devices[:n_dev]
     mesh = Mesh(np.array(devices), ('data',))
@@ -82,7 +143,8 @@ def main(argv):
             check_vma=False,
         )
     )
-    keys = jax.random.split(jax.random.PRNGKey(0), num_envs)
+    # per-process key rows (ppo.train:329 pattern); global batch = num_envs
+    keys = jax.random.split(jax.random.PRNGKey(0), num_envs // process_count)
     out = fn(keys)
     jax.block_until_ready(out)
     t0 = time.time()
@@ -95,6 +157,7 @@ def main(argv):
         json.dumps({
             'metric': f'{FLAGS.env}_env_steps_per_s',
             'devices': n_dev,
+            'processes': process_count,
             'num_envs': num_envs,
             'value': round(sps, 1),
             'unit': 'env-steps/s',

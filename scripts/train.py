@@ -190,7 +190,6 @@ def main(argv):
 
     train_kwargs = dict(cfg)
     train_kwargs.pop('network_factory')
-    train_kwargs.pop('max_grad_norm', None)
     make_policy, params, metrics = ppo.train(
         environment=env,
         eval_env=eval_env,
@@ -245,6 +244,14 @@ def main(argv):
     from rsr_mjx_tpu.utils import rendering
 
     video_env = envs.load(env_name)
+    if algo != 'ppo' and not isinstance(video_env.observation_size, int):
+      # SAC trained on the selected obs key; the rendered rollout must
+      # feed the policy the same flat obs (ADVICE r3)
+      from rsr_mjx_tpu.envs import wrappers as _wrappers
+
+      video_env = _wrappers.SelectObservationWrapper(
+          video_env, cfg.get('policy_obs_key', 'state')
+      )
     policy = make_policy(params, deterministic=True)
     frames = rendering.render_env_rollout(
         video_env, policy, n_steps=FLAGS.render_steps, seed=FLAGS.seed

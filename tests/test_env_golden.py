@@ -22,6 +22,9 @@ CASES = [
     ('AirbotCubePush', 5, 100),
     ('AirbotTPush', 5, 100),
     ('Go2JoystickFlatTerrain', 12, 100),
+    # rough terrain runs on the reference's own heightfield elevations
+    # (bundled hfield.png data — envs/go2/scene.py:reference_heightfield)
+    ('Go2JoystickRoughTerrain', 12, 100),
     ('Go2Getup', 12, 100),
     ('Go2Handstand', 12, 100),
 ]

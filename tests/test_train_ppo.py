@@ -270,3 +270,25 @@ def test_ppo_dict_obs_asymmetric():
          'privileged_state': jnp.zeros(4)}
   act, _ = jax.jit(policy)(obs, jax.random.PRNGKey(0))
   assert act.shape == (2,)
+
+
+def test_running_statistics_negative_variance_clamped():
+  """f32 Welford cancellation regression (round-4): a state carrying a
+  slightly negative summed_variance (as XLA reduction reordering can
+  produce for near-constant dims) must still yield finite std — round 3's
+  15M run was all-NaN from epoch 1 through exactly this path."""
+  from rsr_mjx_tpu.train import running_statistics as rs
+
+  state = rs.init_state(3)
+  state = state.replace(
+      count=jnp.asarray(81920.0),
+      summed_variance=jnp.array([-0.5, 0.0, 1.0]),
+  )
+  batch = jnp.broadcast_to(jnp.array([0.7, 0.7, 0.7]), (64, 3))
+  new = rs.update(state, batch)
+  assert np.all(np.isfinite(np.asarray(new.std)))
+  assert np.all(np.asarray(new.std) > 0)
+  # constant batch at scale: many repeated updates stay finite
+  for _ in range(3):
+    new = rs.update(new, batch)
+  assert np.all(np.isfinite(np.asarray(new.std)))
