@@ -102,7 +102,7 @@ def _arm_xml() -> str:
 def _table_xml(table_friction) -> str:
   return f"""
     <body name="table-a" pos="0.2 0 0">
-      <geom name="table-b" size="0.8 0.3 0.01" pos="0 0 0.77" type="box"
+      <geom name="table-b" size="0.8 0.3 0.01" pos="0 0 0.77" type="box" rgba="0.45 0.33 0.22 1"
             {_SOFT} friction="{table_friction}" contype="3" conaffinity="3"/>
       <geom size="0.02 0.02 0.385" pos=" 0.56 -0.28 0.385" type="box" contype="0" conaffinity="0"/>
       <geom size="0.02 0.02 0.385" pos=" 0.56  0.28 0.385" type="box" contype="0" conaffinity="0"/>
@@ -134,8 +134,20 @@ _EQUALITY_AND_ACTUATORS = """
 # solver rows.  The plane is kept for visuals/raycasts but excluded from
 # collision.
 _GROUND = """
-    <geom name="ground" type="plane" pos="0 0 0" size="3 3 0.1"
+    <light pos="0.3 0 2.2" dir="0 0 -1" directional="true" diffuse="0.7 0.7 0.7"/>
+    <light pos="1.5 1.0 1.5" dir="-0.5 -0.4 -1" diffuse="0.4 0.4 0.4"/>
+    <geom name="ground" type="plane" pos="0 0 0" size="3 3 0.1" rgba="0.55 0.57 0.6 1"
           solimp=".9 .95 .001" solref="-10000 -1000" contype="0" conaffinity="0"/>
+"""
+
+# rendering-only: headlight + camera defaults so --render output is lit
+# (the reference scenes inherit MuJoCo's bundled visual assets; these
+# fields never enter the physics Model)
+_VISUAL = """
+  <visual>
+    <headlight ambient="0.4 0.4 0.4" diffuse="0.7 0.7 0.7" specular="0.1 0.1 0.1"/>
+    <global azimuth="130" elevation="-25"/>
+  </visual>
 """
 
 
@@ -153,6 +165,7 @@ def build_cube_scene(
   """
   return f"""
 <mujoco model="airbot_cube_push">
+{_VISUAL}
   <option timestep="0.0025" iterations="20" integrator="implicitfast" gravity="0 0 -9.81"/>
   <compiler angle="radian" inertiafromgeom="auto" inertiagrouprange="22 22"/>
 
@@ -166,7 +179,7 @@ def build_cube_scene(
 {_arm_xml()}
 {_table_xml(f'{table_friction} 0.005 0.0001')}
     <body name="target_pos" pos="{target_start[0]} {target_start[1]} {target_start[2]}">
-      <geom name="target" type="box" size="0.04 0.04 0.04" contype="0" conaffinity="2" mass="0"/>
+      <geom name="target" type="box" size="0.04 0.04 0.04" rgba="0.2 0.8 0.3 0.45" contype="0" conaffinity="2" mass="0"/>
       <inertial pos="0 0 0" mass="0.5" diaginertia="0.0005333 0.0005333 0.0005333"/>
       <freejoint/>
     </body>
@@ -174,7 +187,7 @@ def build_cube_scene(
     <body name="cube_for_push" pos="{cube_start[0]} {cube_start[1]} {cube_start[2]}">
       <freejoint/>
       <inertial pos="0 0 0" mass="0.5" diaginertia="0.0005333 0.0005333 0.0005333"/>
-      <geom name="geom_for_push" type="box" size="0.04 0.04 0.04" {_SOFT}
+      <geom name="geom_for_push" type="box" size="0.04 0.04 0.04" {_SOFT} rgba="0.85 0.2 0.15 1"
             friction="{cube_friction} 0.1 0.1" contype="1" conaffinity="0"/>
     </body>
   </worldbody>
@@ -197,6 +210,7 @@ def build_tshape_scene() -> str:
   ).replace('range="0.0329 0.0331"', 'range="-0.001 0.001"')
   return f"""
 <mujoco model="airbot_t_push">
+{_VISUAL}
   <option timestep="0.00025" iterations="8" integrator="implicitfast" gravity="0 0 -9.81"/>
   <compiler angle="radian" inertiafromgeom="true"/>
 

@@ -453,13 +453,21 @@ def _cfg_of(m: Model) -> _ColliderCfg:
 
 
 def _collide_lanes(cfg, geom_size, geom_friction, geom_solref, geom_solimp,
-                   geom_solmix, hfield_data, gxpos, gxmat):
+                   geom_solmix, hfield_data, gxpos, gxmat,
+                   include_solparams=True):
   """All inputs trailing-batch: size (ngeom,3,Bp), fric (ngeom,3,Bp),
   solref (ngeom,2,Bp), solimp (ngeom,5,Bp), solmix (ngeom,Bp),
   hfield_data (nhf,), gxpos (ngeom,3,B), gxmat (ngeom,3,3,B).
 
-  Returns lanes-major (dist (ncon,B), pos (ncon,3,B), frame (ncon,3,3,B),
-  friction (ncon,5,B), solref (ncon,2,B), solimp (ncon,5,B))."""
+  Returns lanes-major (dist (ncon,B), pos (ncon,3,B), frame (ncon,3,3,B)
+  [, friction (ncon,5,B), solref (ncon,2,B), solimp (ncon,5,B)]).
+
+  ``include_solparams=False`` skips the per-slot solver parameters — they
+  are static per (model, slot) (positions never enter mj_contactParam),
+  so the hot path computes them once per env via ``combine_solparams``
+  instead of transposing (ncon, 12, B) lanes arrays to batch-major every
+  substep (round-4 profile: the transposes were ~0.97 ms of the 2.46 ms
+  substep at B=1024)."""
   from rsr_mjx_tpu.physics.io import GROUP_NCON
 
   dist_parts, pos_parts, frame_parts = [], [], []
@@ -521,20 +529,65 @@ def _collide_lanes(cfg, geom_size, geom_friction, geom_solref, geom_solimp,
     pos_parts.append(jnp.stack(pos_sl, axis=1).reshape(P * nk, 3, B))
     frame_parts.append(jnp.stack(fr_sl, axis=1).reshape(P * nk, 3, 3, B))
 
-    fr_p, sr_p, si_p = _combine_params_lanes(
-        cfg, geom_friction, geom_solref, geom_solimp, geom_solmix, g1, g2
-    )  # (P, c, Bp)
-    rep = lambda a: jnp.broadcast_to(
-        a[:, None], (P, nk) + a.shape[1:]
-    ).reshape((P * nk,) + a.shape[1:])
-    fr_parts.append(rep(fr_p))
-    sr_parts.append(rep(sr_p))
-    si_parts.append(rep(si_p))
+    if include_solparams:
+      fr_p, sr_p, si_p = _combine_params_lanes(
+          cfg, geom_friction, geom_solref, geom_solimp, geom_solmix, g1, g2
+      )  # (P, c, Bp)
+      rep = lambda a: jnp.broadcast_to(
+          a[:, None], (P, nk) + a.shape[1:]
+      ).reshape((P * nk,) + a.shape[1:])
+      fr_parts.append(rep(fr_p))
+      sr_parts.append(rep(sr_p))
+      si_parts.append(rep(si_p))
 
-  return (
+  out = (
       jnp.concatenate(dist_parts),
       jnp.concatenate(pos_parts),
       jnp.concatenate(frame_parts),
+  )
+  if include_solparams:
+    out = out + (
+        jnp.concatenate(fr_parts),
+        jnp.concatenate(sr_parts),
+        jnp.concatenate(si_parts),
+    )
+  return out
+
+
+def combine_solparams(cfg, geom_friction, geom_solref, geom_solimp,
+                      geom_solmix):
+  """Per-slot contact solver parameters (mj_contactParam), per env.
+
+  Static w.r.t. dynamics: a pure function of model leaves (DR-batched at
+  most), so the hot path computes it once per env in plain batch-major
+  code instead of piping (ncon, 12, B) lanes arrays through the collider
+  transposes every substep.  Returns (friction (ncon, 5),
+  solref (ncon, 2), solimp (ncon, 5)) in collision slot order.
+  """
+  from rsr_mjx_tpu.physics.io import GROUP_NCON
+
+  fr_parts, sr_parts, si_parts = [], [], []
+  fric_l = geom_friction[..., None]
+  sr_l = geom_solref[..., None]
+  si_l = geom_solimp[..., None]
+  sm_l = geom_solmix[..., None]
+  for name, tbl in cfg.pairs:
+    pairs = tbl.arr
+    if len(pairs) == 0:
+      continue
+    k = GROUP_NCON[name]
+    g1, g2 = pairs[:, 0], pairs[:, 1]
+    fr_p, sr_p, si_p = _combine_params_lanes(
+        cfg, fric_l, sr_l, si_l, sm_l, g1, g2
+    )  # (P, c, 1)
+    P = len(pairs)
+    rep = lambda a: jnp.broadcast_to(
+        a[:, None, :, 0], (P, k, a.shape[1])
+    ).reshape(P * k, a.shape[1])
+    fr_parts.append(rep(fr_p))
+    sr_parts.append(rep(sr_p))
+    si_parts.append(rep(si_p))
+  return (
       jnp.concatenate(fr_parts),
       jnp.concatenate(sr_parts),
       jnp.concatenate(si_parts),
@@ -562,40 +615,34 @@ def _make_collider(cfg: _ColliderCfg):
   the same (pure-jnp, differentiable) code for the backward pass.
   """
 
-  def raw(size, fric, solref, solimp, solmix, hfd, gxpos, gxmat):
+  def raw(size, hfd, gxpos, gxmat):
     out = _collide_lanes(
         cfg,
-        *(x[..., None] for x in (size, fric, solref, solimp, solmix)),
+        size[..., None], None, None, None, None,
         hfd,
         gxpos[..., None],
         gxmat[..., None],
+        include_solparams=False,
     )
     return tuple(x[..., 0] for x in out)
 
   @custom_vmap
-  def cv(size, fric, solref, solimp, solmix, hfd, gxpos, gxmat):
-    return raw(size, fric, solref, solimp, solmix, hfd, gxpos, gxmat)
+  def cv(size, hfd, gxpos, gxmat):
+    return raw(size, hfd, gxpos, gxmat)
 
   @cv.def_vmap
-  def _cv_rule(axis_size, in_batched, size, fric, solref, solimp, solmix,
-               hfd, gxpos, gxmat):
-    if in_batched[5]:
+  def _cv_rule(axis_size, in_batched, size, hfd, gxpos, gxmat):
+    if in_batched[1]:
       # batched heightfield data is unsupported in lanes (no randomizer
       # produces it); fall back to plain batch-major vmap.
       axes = tuple(0 if b else None for b in in_batched)
-      out = jax.vmap(raw, in_axes=axes)(
-          size, fric, solref, solimp, solmix, hfd, gxpos, gxmat
-      )
+      out = jax.vmap(raw, in_axes=axes)(size, hfd, gxpos, gxmat)
       return out, tuple(True for _ in out)
-    args = [
-        _expand(x, b)
-        for x, b in zip(
-            (size, fric, solref, solimp, solmix), in_batched[:5]
-        )
-    ]
-    gxpos_l = _expand(gxpos, in_batched[6])
-    gxmat_l = _expand(gxmat, in_batched[7])
-    out = _collide_lanes(cfg, *args, hfd, gxpos_l, gxmat_l)
+    size_l = _expand(size, in_batched[0])
+    gxpos_l = _expand(gxpos, in_batched[2])
+    gxmat_l = _expand(gxmat, in_batched[3])
+    out = _collide_lanes(cfg, size_l, None, None, None, None, hfd,
+                         gxpos_l, gxmat_l, include_solparams=False)
     # lanes-major (ncon, ..., B) → batch-major (B, ncon, ...)
     outs = []
     for x in out:
@@ -606,8 +653,8 @@ def _make_collider(cfg: _ColliderCfg):
     return tuple(outs), tuple(True for _ in outs)
 
   @jax.custom_vjp
-  def collide(size, fric, solref, solimp, solmix, hfd, gxpos, gxmat):
-    return cv(size, fric, solref, solimp, solmix, hfd, gxpos, gxmat)
+  def collide(size, hfd, gxpos, gxmat):
+    return cv(size, hfd, gxpos, gxmat)
 
   def fwd(*args):
     return cv(*args), args
@@ -648,19 +695,14 @@ def collision(m: Model, d: Data) -> Data:
 
   from rsr_mjx_tpu.physics.io import GROUP_NCON
 
-  fn = _make_collider(_cfg_of(m))
+  cfg = _cfg_of(m)
+  fn = _make_collider(cfg)
   hfd = m.hfield_data
   if hfd is None:
     hfd = jnp.zeros((0,), dtype=d.qpos.dtype)
-  dist, pos, frame, friction, solref, solimp = fn(
-      m.geom_size,
-      m.geom_friction,
-      m.geom_solref,
-      m.geom_solimp,
-      m.geom_solmix,
-      hfd,
-      d.geom_xpos,
-      d.geom_xmat,
+  dist, pos, frame = fn(m.geom_size, hfd, d.geom_xpos, d.geom_xmat)
+  friction, solref, solimp = combine_solparams(
+      cfg, m.geom_friction, m.geom_solref, m.geom_solimp, m.geom_solmix
   )
 
   g1_parts, g2_parts, condim_parts = [], [], []

@@ -282,8 +282,14 @@ def _newton_kernel(
   def matvec_M(v):  # (nv, E) -> (nv, E)
     return jnp.sum(M * v[None, :, :], axis=1)
 
+  # NOTE: a quasi-Newton schedule (rebuild H every other iteration) was
+  # tried and REVERTED: it cut the kernel ~30% but the TPU-lane divergence
+  # regression (tests_tpu) measured 14 guard trips per 153.6k eval steps
+  # vs 0 for full Newton — stale curvature under-converges exactly in the
+  # impact regime that matters.  scripts/impact_probe.py is the acceptance
+  # test for any future schedule change.
+  r = matvec_J(x) - aref
   for _ in range(iters):
-    r = matvec_J(x) - aref
     s_grad, s_curv = _penalty_se(r, Dv, fl, ones_m, fric_m)
     xa = x - a0
     grad = matvec_M(xa) + matvec_Jt(s_grad)
@@ -307,9 +313,8 @@ def _newton_kernel(
     # absolute 1e-9 is invisible next to contact-stiffness diagonal
     # entries of ~1e6, leaving the f32 Cholesky free to break down under
     # deep multi-contact penetration — the round-3 divergence root cause.
-    dmax = jnp.max(jnp.max(H * eye, axis=0), axis=0, keepdims=True)  # (1, E)
+    dmax = jnp.max(jnp.max(H * eye, axis=0), axis=0, keepdims=True)
     H = H + eye * (1e-6 * dmax + 1e-12)[None]
-
     cols, djs = _chol_cols(H, nv, 1e-12)
     dx = -_cho_solve_cols(cols, djs, grad, nv)
 
@@ -337,9 +342,11 @@ def _newton_kernel(
         axis=0, keepdims=True,
     )
     delta = t * g0 + 0.5 * t * t * h0 + s_new - s_old
-    x = jnp.where(delta < 0, x + t * dx, x)
+    accept = delta < 0
+    x = jnp.where(accept, x + t * dx, x)
+    # carry the residual (saves a J matvec next iteration)
+    r = jnp.where(accept, r + t * jdx, r)
 
-  r = matvec_J(x) - aref
   s_grad, _ = _penalty_se(r, Dv, fl, ones_m, fric_m)
   force = -s_grad
   x_out[...] = x

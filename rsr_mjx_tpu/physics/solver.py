@@ -20,9 +20,10 @@ TPU-native design (round-2 rework, per VERDICT item 1):
 
 - **Warm start**: iterations start from the previous substep's ``qacc``
   (MuJoCo ``qacc_warmstart`` semantics).  The fixed-count kernel runs
-  min(opt.iterations, 8) Newton steps — enough to converge even at
+  min(opt.iterations, 6) Newton steps — enough to converge even at
   impacts, where the warm start is cold (4 was not: see the impact-probe
-  note at ``kernel_iters`` below and PROFILE.md).
+  note at ``kernel_iters`` below, scripts/impact_probe.py and
+  PROFILE.md).
 
 - **Implicit differentiation**: gradients do not flow through the Newton
   iterations.  A ``jax.custom_vjp`` applies the implicit function theorem
@@ -202,16 +203,21 @@ def _get_solver(kind_key: _KindKey, iterations: int, ls_iterations: int,
   problem does not depend on it).
   """
   kind = kind_key.arr
-  ls_eff = max(min(ls_iterations, 8), 1)
+  ls_eff = max(min(ls_iterations, 6), 1)
   # The fused TPU kernel unrolls a FIXED iteration count (no adaptive
-  # exit), so it is capped below the model's adaptive budget.  8 is
+  # exit), so it is capped below the model's adaptive budget.  6 is
   # empirically converged: an impact-rich cube-push probe (end-effector
   # slammed into the cube, 3 seeds x 100 steps) gives identical max cube
   # speeds for 6/8/20 iterations, while 4 under-converges and launches
   # the cube at 2.5 m/s (round-2's iterations=4 bug; see PROFILE.md).
-  # Extra iterations on the converged convex problem are no-ops, so the
-  # capped kernel and the adaptive XLA path agree wherever both converge.
-  kernel_iters = max(min(iterations, 8), 1)
+  # Unlike round-2's 4, the choice is validated by that probe AND
+  # safeguarded: the round-4 monotone accept-if-decrease iteration
+  # rejects any non-descending step, the env-level NonFiniteGuard
+  # quarantines blowups, and the TPU lane's divergence regression
+  # (tests_tpu) runs the trainer-exact eval unroll.  Extra iterations on
+  # the converged convex objective are no-ops, so the capped kernel and
+  # the adaptive XLA path agree wherever both converge.
+  kernel_iters = max(min(iterations, 6), 1)
 
   def base(M, a0, x0, J, aref, D, floss):
     x = _newton_forward(
@@ -363,8 +369,8 @@ def _build_fused(m: Model):
   iterations = max(m.opt.iterations, 1)
   ls_iterations = max(m.opt.ls_iterations, 1)
   tolerance = float(getattr(m.opt, 'tolerance', 1e-8))
-  ls_eff = max(min(ls_iterations, 8), 1)
-  kernel_iters = max(min(iterations, 8), 1)  # see _get_solver note
+  ls_eff = max(min(ls_iterations, 6), 1)
+  kernel_iters = max(min(iterations, 6), 1)  # see _get_solver note
   nv = m.nv
 
   def base(lv, M, a0, x0):
