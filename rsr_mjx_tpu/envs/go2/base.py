@@ -70,6 +70,23 @@ class Go2Env(core.Env):
     self._mjm = mjm
     self._model = physics.put_model(mjm)
     self._imu_site_id = name2id(self._model, 'site', 'imu')
+    # render-only model with the reference visual meshes (same qpos
+    # layout; never used for physics) — utils/rendering.py prefers it
+    self._mjm_render = None
+    try:
+      from rsr_mjx_tpu.envs.go2 import visual as go2_visual
+
+      vxml = go2_visual.build_visual_scene(task_xml)
+      vm = __import__('mujoco').MjModel.from_xml_string(
+          vxml, go2_visual.visual_assets()
+      )
+      if vm.nq == mjm.nq and vm.nmesh:
+        vm.opt.timestep = self._config.sim_dt
+        if vm.nhfield:
+          vm.hfield_data[:] = go2_scene.reference_heightfield()
+        self._mjm_render = vm
+    except Exception:  # missing assets / unexpected xml: render primitives
+      pass
 
   # ----- sensor helpers (mjx_env.get_sensor_data semantics)
 

@@ -89,7 +89,9 @@ def render_env_rollout(
   import jax
   import jax.numpy as jnp
 
-  mjm = env.unwrapped._mjm
+  # prefer a dedicated render model (e.g. Go2's reference visual meshes,
+  # envs/go2/visual.py) over the primitive physics model
+  mjm = getattr(env.unwrapped, '_mjm_render', None) or env.unwrapped._mjm
   rng = jax.random.PRNGKey(seed)
   state = jax.jit(env.reset)(rng)
   step = jax.jit(env.step)
@@ -102,6 +104,12 @@ def render_env_rollout(
       action, _ = policy(state.obs, sub)
     state = step(state, action)
     qposes.append(np.asarray(state.data.qpos))
+  if camera is None:
+    # default to the model's tracking camera when one exists (reference
+    # rollout videos track the robot, train_jax_ppo.py:286-328)
+    cam_id = mujoco.mj_name2id(mjm, mujoco.mjtObj.mjOBJ_CAMERA, 'track')
+    if cam_id >= 0:
+      camera = 'track'
   return render_array(mjm, qposes, height=height, width=width, camera=camera)
 
 
