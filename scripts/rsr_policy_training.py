@@ -75,12 +75,25 @@ def main(argv):
   ckpt_dir = os.path.join(FLAGS.logdir, 'checkpoints')
   os.makedirs(ckpt_dir, exist_ok=True)
 
+  progress_rows = []
+  progress_path = os.path.join(FLAGS.logdir, 'progress.json')
+
   def progress_fn(step, metrics):
     logging.info(
-        'step=%d reward=%.3f',
+        'step=%d reward=%.3f sim2real=%.5f',
         step,
         metrics.get('eval/episode_reward', float('nan')),
+        metrics.get('training/sim2real_loss', float('nan')),
     )
+    progress_rows.append(
+        {'step': int(step),
+         **{k: float(v) for k, v in metrics.items()
+            if isinstance(v, (int, float))}}
+    )
+    import json
+
+    with open(progress_path, 'w') as f:
+      json.dump(progress_rows, f, indent=1)
 
   def policy_params_fn(step, make_policy, params):
     checkpoint.save(os.path.join(ckpt_dir, f'{step}'), params)
