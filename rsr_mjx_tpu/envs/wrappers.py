@@ -126,6 +126,17 @@ class NonFiniteGuardWrapper(Wrapper):
   def reset(self, rng: jax.Array) -> State:
     state = self.env.reset(rng)
     state.metrics['nonfinite'] = jnp.zeros_like(state.reward)
+    # Cache the reset-time info: real envs keep obs-feeding float state in
+    # info (cube-push cached poses, Go2 gyro/action delay buffers), which
+    # goes NaN on a blown step and would otherwise persist through the
+    # AutoReset restore (which only restores data/obs) — the quarantined
+    # env would then produce NaN obs and re-trip done forever instead of
+    # recovering (ADVICE r4, medium).  Restoring is scoped to *blown* envs
+    # only: ordinary done envs keep their info across auto-reset exactly
+    # like the reference BraxAutoResetWrapper (wrapper.py:117-138).
+    state.info['first_info'] = {
+        k: v for k, v in state.info.items() if k != 'first_info'
+    }
     return state
 
   def step(self, state: State, action: jax.Array) -> State:
@@ -159,6 +170,16 @@ class NonFiniteGuardWrapper(Wrapper):
       info['truncation'] = jnp.where(
           blown, jnp.zeros_like(info['truncation']), info['truncation']
       )
+    # restore the cached reset-time info where blown so the env recovers
+    # consistently with AutoReset's first_data/first_obs restore (the env's
+    # recurrent info — delay buffers, cached poses, commands — must match
+    # the restored first state, and must not stay NaN)
+    first_info = info.get('first_info')
+    if first_info is not None:
+      for k, v in first_info.items():
+        if k == 'truncation' or k not in info:
+          continue
+        info[k] = jax.tree.map(where_blown, v, info[k])
     return state.replace(
         data=data, obs=obs, reward=reward, done=done, metrics=metrics,
         info=info,

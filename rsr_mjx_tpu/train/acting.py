@@ -114,8 +114,10 @@ class Evaluator:
       epi_rewards = epi_rewards[finite]
       epi_lengths = epi_lengths[finite]
     if epi_rewards.size == 0:
-      epi_rewards = np.zeros(1)
-      epi_lengths = np.zeros(1)
+      # every episode blew up: report NaN so dashboards/regressions see the
+      # collapse directly instead of a plausible in-band 0.0 (ADVICE r4)
+      epi_rewards = np.full(1, np.nan)
+      epi_lengths = np.full(1, np.nan)
     metrics = {
         'eval/episode_reward': float(np.mean(epi_rewards)),
         'eval/episode_reward_std': float(np.std(epi_rewards)),
