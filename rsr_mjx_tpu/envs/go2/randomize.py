@@ -1,9 +1,18 @@
-"""Go2 domain randomization (reference: locomotion/go2/randomize.py).
+"""Go2 domain randomization.
 
-Returns (batched_model, in_axes) for the DomainRandomizationVmapWrapper:
-floor friction 0.4–1.0, joint frictionloss ±10%, armature ×1.0–1.05,
-Kp/Kd scale ±5% into actuator gain/bias, torso COM shift ±0.2 m, all-body
-mass ±10% plus torso ±3 kg, qpos0 joint offsets ±0.05.
+Capability parity with the reference randomizer
+(locomotion/go2/randomize.py): the same model fields are perturbed over
+the same ranges — the ranges are the task spec — but expressed natively:
+one declarative draw table feeding a vmapped field builder, with the
+floor geom and torso body resolved by name instead of hardcoded ids, and
+leg-dof slices derived from the free-joint layout instead of literal 12s.
+
+Randomized per env: floor tangential friction resampled in [0.4, 1.0];
+leg-joint frictionloss ±10% and armature +0–5%; the PD gains ±5% (one
+scale per actuator applied to both the gain and the position-bias term,
+so Kp stays consistent across the two); joint damping (Kd) ±5%; torso
+COM shifted ±0.2 m; every body mass ±10% plus an extra ±3 kg on the
+torso; and the leg home pose ``qpos0`` offset ±0.05 rad.
 """
 
 from __future__ import annotations
@@ -11,99 +20,68 @@ from __future__ import annotations
 import dataclasses
 
 import jax
-import jax.numpy as jp
 
-FLOOR_GEOM_ID = 0
-TORSO_BODY_ID = 1
+from rsr_mjx_tpu.envs.go2 import base as go2_base
+from rsr_mjx_tpu.physics.io import name2id
+
+# the Go2 root is a free joint: 6 dofs / 7 qpos entries ahead of the legs
+_FREE_NV = 6
+_FREE_NQ = 7
 
 
 def domain_randomize(model, rng: jax.Array):
-  @jax.vmap
-  def rand_dynamics(rng):
-    rng, key = jax.random.split(rng)
-    geom_friction = model.geom_friction.at[FLOOR_GEOM_ID, 0].set(
-        jax.random.uniform(key, minval=0.4, maxval=1.0)
-    )
-    rng, key = jax.random.split(rng)
-    frictionloss = model.dof_frictionloss[6:] * jax.random.uniform(
-        key, shape=(12,), minval=0.9, maxval=1.1
-    )
-    dof_frictionloss = model.dof_frictionloss.at[6:].set(frictionloss)
-    rng, key = jax.random.split(rng)
-    armature = model.dof_armature[6:] * jax.random.uniform(
-        key, shape=(12,), minval=1.0, maxval=1.05
-    )
-    dof_armature = model.dof_armature.at[6:].set(armature)
-    rng, key = jax.random.split(rng)
-    kp_scale = jax.random.uniform(key, shape=(12,), minval=0.95, maxval=1.05)
-    actuator_gainprm = model.actuator_gainprm.at[:, 0].set(
-        model.actuator_gainprm[:, 0] * kp_scale
-    )
-    actuator_biasprm = model.actuator_biasprm.at[:, 1].set(
-        model.actuator_biasprm[:, 1] * kp_scale
-    )
-    rng, key = jax.random.split(rng)
-    kd_scale = jax.random.uniform(key, shape=(12,), minval=0.95, maxval=1.05)
-    dof_damping = model.dof_damping.at[6:].set(
-        model.dof_damping[6:] * kd_scale
-    )
-    rng, key = jax.random.split(rng)
-    dpos_x = jax.random.uniform(key, (), minval=-0.2, maxval=0.2)
-    rng, key = jax.random.split(rng)
-    dpos_yz = jax.random.uniform(key, (2,), minval=-0.2, maxval=0.2)
-    dpos = jp.concatenate([jp.array([dpos_x]), dpos_yz])
-    body_ipos = model.body_ipos.at[TORSO_BODY_ID].set(
-        model.body_ipos[TORSO_BODY_ID] + dpos
-    )
-    rng, key = jax.random.split(rng)
-    dmass = jax.random.uniform(
-        key, shape=(model.nbody,), minval=0.9, maxval=1.1
-    )
-    body_mass = model.body_mass * dmass
-    rng, key = jax.random.split(rng)
-    dmass = jax.random.uniform(key, minval=-3.0, maxval=3.0)
-    body_mass = body_mass.at[TORSO_BODY_ID].add(dmass)
-    rng, key = jax.random.split(rng)
-    qpos0 = model.qpos0.at[7:].set(
-        model.qpos0[7:]
-        + jax.random.uniform(key, shape=(12,), minval=-0.05, maxval=0.05)
-    )
-    return (
-        geom_friction,
-        body_ipos,
-        body_mass,
-        qpos0,
-        dof_frictionloss,
-        dof_armature,
-        actuator_gainprm,
-        actuator_biasprm,
-        dof_damping,
+  """Build (batched_model, in_axes) for DomainRandomizationVmapWrapper."""
+  floor_gid = name2id(model, 'geom', 'floor')
+  torso_bid = name2id(model, 'body', go2_base.ROOT_BODY)
+  n_leg = model.nv - _FREE_NV
+
+  # declarative draw table: name → (shape, low, high)
+  draw_table = {
+      'floor_friction': ((), 0.4, 1.0),
+      'frictionloss_scale': ((n_leg,), 0.9, 1.1),
+      'armature_scale': ((n_leg,), 1.0, 1.05),
+      'kp_scale': ((model.nu,), 0.95, 1.05),
+      'kd_scale': ((n_leg,), 0.95, 1.05),
+      'com_shift': ((3,), -0.2, 0.2),
+      'mass_scale': ((model.nbody,), 0.9, 1.1),
+      'torso_extra_mass': ((), -3.0, 3.0),
+      'pose_offset': ((n_leg,), -0.05, 0.05),
+  }
+
+  def randomized_fields(rng):
+    keys = jax.random.split(rng, len(draw_table))
+    d = {
+        name: jax.random.uniform(k, shape, minval=lo, maxval=hi)
+        for k, (name, (shape, lo, hi)) in zip(keys, draw_table.items())
+    }
+    return dict(
+        geom_friction=model.geom_friction.at[floor_gid, 0].set(
+            d['floor_friction']
+        ),
+        dof_frictionloss=model.dof_frictionloss.at[_FREE_NV:].multiply(
+            d['frictionloss_scale']
+        ),
+        dof_armature=model.dof_armature.at[_FREE_NV:].multiply(
+            d['armature_scale']
+        ),
+        # one scale per actuator for both gainprm[:, 0] and the position
+        # feedback term biasprm[:, 1] (= -Kp): the PD gain stays coherent
+        actuator_gainprm=model.actuator_gainprm.at[:, 0].multiply(
+            d['kp_scale']
+        ),
+        actuator_biasprm=model.actuator_biasprm.at[:, 1].multiply(
+            d['kp_scale']
+        ),
+        dof_damping=model.dof_damping.at[_FREE_NV:].multiply(d['kd_scale']),
+        body_ipos=model.body_ipos.at[torso_bid].add(d['com_shift']),
+        body_mass=(model.body_mass * d['mass_scale'])
+        .at[torso_bid]
+        .add(d['torso_extra_mass']),
+        qpos0=model.qpos0.at[_FREE_NQ:].add(d['pose_offset']),
     )
 
-  (
-      friction,
-      body_ipos,
-      body_mass,
-      qpos0,
-      dof_frictionloss,
-      dof_armature,
-      actuator_gainprm,
-      actuator_biasprm,
-      dof_damping,
-  ) = rand_dynamics(rng)
-
-  in_axes = jax.tree.map(lambda x: None, model)
-  replaced = dict(
-      geom_friction=friction,
-      body_ipos=body_ipos,
-      body_mass=body_mass,
-      qpos0=qpos0,
-      dof_frictionloss=dof_frictionloss,
-      dof_armature=dof_armature,
-      actuator_gainprm=actuator_gainprm,
-      actuator_biasprm=actuator_biasprm,
-      dof_damping=dof_damping,
+  fields = jax.vmap(randomized_fields)(rng)
+  in_axes = dataclasses.replace(
+      jax.tree.map(lambda _: None, model), **{k: 0 for k in fields}
   )
-  in_axes = dataclasses.replace(in_axes, **{k: 0 for k in replaced})
-  model = dataclasses.replace(model, **replaced)
-  return model, in_axes
+  return dataclasses.replace(model, **fields), in_axes

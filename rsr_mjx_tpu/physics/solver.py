@@ -363,6 +363,29 @@ def _ift_cotangents(kind, res, cts):
 _FUSED_CACHE: dict = {}
 
 
+def _fused_key(m: Model):
+  """Static cache key for the fused solver.
+
+  Keyed on the same static-layout signature as ``layout_cached`` (which the
+  codebase already assumes determines the whole static constraint
+  structure) plus the solver options.  Keying by ``id(m)`` (round 4) leaked
+  under DomainRandomizationVmapWrapper: every vmap retrace builds a fresh
+  Model pytree of batch tracers, so the id-keyed cache grew a
+  never-reusable, tracer-retaining entry per trace (ADVICE r4).
+  """
+  return (
+      m.neq,
+      m.nv,
+      m.jnt_limited,
+      tuple((n, t) for n, t in m.pairs),
+      m.ncon,
+      getattr(m, 'ncon_sel', 0),
+      max(m.opt.iterations, 1),
+      max(m.opt.ls_iterations, 1),
+      float(getattr(m.opt, 'tolerance', 1e-8)),
+  )
+
+
 def _build_fused(m: Model):
   lay = _constraint.layout_cached(m)
   kind = lay.kind
@@ -373,8 +396,20 @@ def _build_fused(m: Model):
   kernel_iters = max(min(iterations, 6), 1)  # see _get_solver note
   nv = m.nv
 
+  ncon = m.ncon
+
+  def narrow(lv):
+    """Per-env narrow phase (empty triple when the model has no contacts)."""
+    if ncon:
+      return _constraint.narrowphase_leaves(m, lv)
+    z = jnp.zeros((0,), lv.qpos.dtype)
+    return z, z.reshape(0, 3), z.reshape(0, 3, 3)
+
   def base(lv, M, a0, x0):
-    efc = _constraint.assemble_from_leaves(m, lv)
+    dist, pos, frame = narrow(lv)
+    efc = _constraint.assemble_from_leaves(
+        m, lv, contact=(dist, pos, frame)
+    )
     x = _newton_forward(
         kind, iterations, ls_iterations, tolerance,
         M, a0, x0, efc.J, efc.aref, efc.D, efc.floss,
@@ -382,15 +417,27 @@ def _build_fused(m: Model):
     force, qfrc = _forces_at(
         kind, M, a0, efc.J, efc.aref, efc.D, efc.floss, x
     )
-    return x, force, qfrc
+    return x, force, qfrc, dist
 
   def _lanes_path(lv, M, a0, x0):
     from rsr_mjx_tpu.physics import lanes_assembly as _lanes
 
-    J_l, aref_l, D_l, floss_l = _lanes.assemble_lanes(m, lv)
-    return _lk.newton_solve_lanes(
+    J_l, aref_l, D_l, floss_l, dist_bm = _lanes.assemble_lanes(m, lv)
+    out = _lk.newton_solve_lanes(
         kind, kernel_iters, ls_eff, M, a0, x0, J_l, aref_l, D_l, floss_l
     )
+    return out + (dist_bm,)
+
+  # Leaves that must NOT be broadcast to the batch in the lanes path:
+  # hfield_data (the lanes collider samples it unbatched), and the
+  # per-slot solver parameters + geom_size (assemble_lanes dispatches on
+  # ndim and keeps the unbatched no-DR fast path free of (B, ncon, ·)
+  # materializations).
+  _NO_BCAST = frozenset(
+      ('hfield_data', 'geom_size', 'con_friction', 'con_solref',
+       'con_solimp', 'con_invweight')
+  )
+  _FIELDS = _constraint.AssembleLeaves._fields
 
   @custom_vmap
   def primal(lv, M, a0, x0):
@@ -402,26 +449,42 @@ def _build_fused(m: Model):
     bcast = lambda a, b: (
         a if b else jnp.broadcast_to(a, (axis_size,) + a.shape)
     )
-    lv = _constraint.AssembleLeaves(
-        *(bcast(a, b) for a, b in zip(lv, lv_b))
-    )
     M, a0, x0 = bcast(M, M_b), bcast(a0, a0_b), bcast(x0, x0_b)
     fits = _lk.newton_kernel_fits(nv, lay.nefc)
     use_kernel = (
-        _lk._use_tpu_kernels() and fits and M.dtype == jnp.float32
+        _lk._use_tpu_kernels()
+        and fits
+        and M.dtype == jnp.float32
+        and not lv_b.hfield_data  # batched terrain: lanes unsupported
     )
     if use_kernel and M.ndim == 3:
+      lv = _constraint.AssembleLeaves(*(
+          a if (not b and f in _NO_BCAST) else bcast(a, b)
+          for f, a, b in zip(_FIELDS, lv, lv_b)
+      ))
       out = _lanes_path(lv, M, a0, x0)
     elif use_kernel and M.ndim == 4:
-      # nested vmap: flatten the two leading batch dims into one
+      # nested vmap: broadcast everything, flatten the two batch dims
+      # (rare path — keep it simple; the inner-level rule already
+      # broadcast its unbatched leaves, so every leaf carries both dims
+      # after this bcast)
       b1, b2 = M.shape[:2]
+      lv = _constraint.AssembleLeaves(
+          *(bcast(a, b) for a, b in zip(lv, lv_b))
+      )
       flat = lambda a: a.reshape((b1 * b2,) + a.shape[2:])
-      lvf = _constraint.AssembleLeaves(*(flat(a) for a in lv))
+      lvf = _constraint.AssembleLeaves(
+          *(a if f == 'hfield_data' else flat(a)
+            for f, a in zip(_FIELDS, lv))
+      )
       out = _lanes_path(lvf, flat(M), flat(a0), flat(x0))
       out = tuple(o.reshape((b1, b2) + o.shape[1:]) for o in out)
     else:
-      out = jax.vmap(base)(lv, M, a0, x0)
-    return out, (True, True, True)
+      lv_axes = _constraint.AssembleLeaves(
+          *(0 if b else None for b in lv_b)
+      )
+      out = jax.vmap(base, in_axes=(lv_axes, 0, 0, 0))(lv, M, a0, x0)
+    return out, (True, True, True, True)
 
   @jax.custom_vjp
   def fused(lv, M, a0, x0):
@@ -433,16 +496,22 @@ def _build_fused(m: Model):
 
   def fused_bwd(res, cts):
     lv, M, a0, x = res
+    x_bar, F_bar, Q_bar, dist_bar = cts
     with jax.default_matmul_precision('highest'):
-      def efc_fn(lv1):
-        efc = _constraint.assemble_from_leaves(m, lv1)
-        return efc.J, efc.aref, efc.D, efc.floss
+      def efc_dist_fn(lv1):
+        dist, pos, frame = narrow(lv1)
+        efc = _constraint.assemble_from_leaves(
+            m, lv1, contact=(dist, pos, frame)
+        )
+        return efc.J, efc.aref, efc.D, efc.floss, dist
 
-      (J, aref, D, floss), efc_vjp = jax.vjp(efc_fn, lv)
+      (J, aref, D, floss, _), efc_vjp = jax.vjp(efc_dist_fn, lv)
       M_bar, a0_bar, x0_bar, J_bar, aref_bar, D_bar, floss_bar = (
-          _ift_cotangents(kind, (M, a0, J, aref, D, floss, x), cts)
+          _ift_cotangents(
+              kind, (M, a0, J, aref, D, floss, x), (x_bar, F_bar, Q_bar)
+          )
       )
-      (lv_bar,) = efc_vjp((J_bar, aref_bar, D_bar, floss_bar))
+      (lv_bar,) = efc_vjp((J_bar, aref_bar, D_bar, floss_bar, dist_bar))
     return lv_bar, M_bar, a0_bar, x0_bar
 
   fused.defvjp(fused_fwd, fused_bwd)
@@ -450,10 +519,13 @@ def _build_fused(m: Model):
 
 
 def solve_fused(m: Model, d: Data) -> Data:
-  """Assembly + Newton solve, fused; fills qacc, qfrc_constraint, efc_force.
+  """Narrow phase + assembly + Newton solve, fused; fills qacc,
+  qfrc_constraint, efc_force, and contact.dist.
 
-  Drop-in replacement for make_constraints + solve on the forward path;
-  the batched TPU path never materializes a batch-major J.
+  Drop-in replacement for collision + make_constraints + solve on the
+  forward path; on the batched TPU path the contact features and J live
+  in lanes layout end-to-end (round 5) — only ``dist`` crosses back to
+  batch-major, for env contact queries (collision.geoms_colliding).
   """
   lay = _constraint.layout_cached(m)
   if lay.nefc == 0:
@@ -461,15 +533,18 @@ def solve_fused(m: Model, d: Data) -> Data:
         qacc=d.qacc_smooth,
         qfrc_constraint=jnp.zeros(m.nv, dtype=d.qpos.dtype),
     )
-  entry = _FUSED_CACHE.get(id(m))
-  if entry is None:
-    entry = (_build_fused(m), m)  # keep m alive so id() stays unique
-    _FUSED_CACHE[id(m)] = entry
-  fused = entry[0]
+  key = _fused_key(m)
+  fused = _FUSED_CACHE.get(key)
+  if fused is None:
+    # _build_fused reads only static (numpy/python) fields of m — all
+    # traced model leaves travel through AssembleLeaves — so the built fn
+    # is shared by every model with the same static signature.
+    fused = _build_fused(m)
+    _FUSED_CACHE[key] = fused
 
   lv = _constraint.gather_leaves(m, d)
   x0 = jax.lax.stop_gradient(d.qacc)
-  x, force, qfrc_constraint = fused(lv, d.qM, d.qacc_smooth, x0)
+  x, force, qfrc_constraint, dist = fused(lv, d.qM, d.qacc_smooth, x0)
   # Final containment — see solve() below.
   ok = jnp.all(jnp.isfinite(x)) & jnp.all(jnp.isfinite(qfrc_constraint))
   x = jnp.where(ok, x, d.qacc_smooth)
@@ -477,8 +552,10 @@ def solve_fused(m: Model, d: Data) -> Data:
   qfrc_constraint = jnp.where(
       ok, qfrc_constraint, jnp.zeros_like(qfrc_constraint)
   )
+  contact = d.contact.replace(dist=dist) if m.ncon else d.contact
   return d.replace(
-      qacc=x, qfrc_constraint=qfrc_constraint, efc_force=force
+      qacc=x, qfrc_constraint=qfrc_constraint, efc_force=force,
+      contact=contact,
   )
 
 

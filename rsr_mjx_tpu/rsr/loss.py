@@ -1,15 +1,39 @@
-"""RSR transition-distribution penalty (reference: RSR/rsr_loss.py).
+"""RSR transition-distribution penalty.
 
-``RSRData`` precomputes the fixed statistics once on the host; the penalty
-itself is evaluated on-device inside the actor loss.  The online actions
-MUST come from the policy being optimized — actions from a rollout buffer
-make the term constant w.r.t. the actor parameters and kill the gradient
-(reference docstring, rsr_loss.py:1-7).
+Implements the distribution-matching objective of the reference
+(capability parity with RSR/rsr_loss.py): a fixed gain — the KL
+divergence between the real and previous-sim transition densities —
+multiplied by the 1-D Wasserstein distance between the current-sim
+transition density and the density of that same data *augmented with the
+online policy transitions*, all densities being grid-evaluated Gaussian
+KDEs (rsr_mjx_tpu.rsr.distribution).
+
+Redesign notes (round 5 — this file is a from-scratch restructure):
+
+- The reference re-evaluates the full anchor-vs-grid kernel matrix inside
+  every actor-loss call.  Here everything that depends only on the fixed
+  datasets is folded into :class:`RSRData` at build time: the per-grid
+  log-sum of the anchor kernels (``anchor_logsum``) and the target CDF of
+  the anchor density (``target_cdf``).  The online evaluation then only
+  computes the (grid × batch) kernel block and merges it with a single
+  ``logaddexp`` — the softmax is shift-invariant, so dropping the
+  ``-log(N)`` normalizer changes nothing.  Mathematically identical to
+  evaluating the KDE of the concatenated (anchors + online) set, at
+  O(M·B) instead of O(M·(N+B)) per loss evaluation.
+- The reference's legacy 3-tuple ``past_data`` format is not supported:
+  this framework's only producer of penalty state is
+  :func:`build_rsr_data` (via ``rsr.pipeline.build_policy_rsr_data``).
+
+The online actions MUST be produced by the policy being optimized:
+actions replayed from a rollout/replay buffer make the penalty constant
+w.r.t. the actor parameters and the policy gradient vanishes (the
+property the reference documents, RSR/rsr_loss.py:1-7; regression-tested
+in tests/test_train_ppo.py::test_rsr_loss_gradient_flows_through_actions).
 """
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -18,13 +42,16 @@ from rsr_mjx_tpu.rsr import distribution as dp
 
 
 class RSRData(NamedTuple):
-  """Precomputed real/sim distribution statistics (rsr_loss.py:17-24)."""
+  """Everything the penalty needs that does not depend on online data."""
 
-  divergence: jnp.ndarray  # KL(real ‖ previous-sim), a fixed scalar weight
-  reference_density: jnp.ndarray  # KDE of current-sim data on the grid
-  reference_data: jnp.ndarray  # current-sim transitions (N, D)
-  grid: jnp.ndarray  # (M, D) random evaluation grid
-  bandwidth: float
+  weight: jax.Array        # KL(real ‖ previous-sim): fixed penalty gain
+  grid: jax.Array          # (M, D) KDE evaluation points
+  grid_sq: jax.Array       # (M,) ‖grid‖² rows, reused by the online block
+  anchor_logsum: jax.Array  # (M,) logsumexp of current-sim anchor kernels
+  target_cdf: jax.Array    # (M,) CDF of the current-sim anchor density
+  n_anchors: int           # static anchor count
+  width: int               # static transition width: obs + act + next_obs
+  bandwidth: float         # Gaussian kernel bandwidth
 
 
 def make_grid(
@@ -33,8 +60,14 @@ def make_grid(
     min_value: float = -3.0,
     max_value: float = 3.0,
     seed: int = 0,
-) -> jnp.ndarray:
-  """Deterministic uniform random grid (rsr_loss.py:27-40)."""
+) -> jax.Array:
+  """Seed-deterministic uniform KDE evaluation grid.
+
+  A random uniform grid over the (standardized) transition box is the
+  reference's density support (RSR/rsr_loss.py make_grid) and is kept as
+  the capability contract: the grid must be identical between the build
+  phase and every loss evaluation, hence the fixed PRNGKey.
+  """
   return jax.random.uniform(
       jax.random.PRNGKey(seed),
       (num_samples, dimension),
@@ -43,10 +76,32 @@ def make_grid(
   )
 
 
+def _log_kernel_block(
+    grid: jax.Array, grid_sq: jax.Array, points: jax.Array, bandwidth: float
+) -> jax.Array:
+  """(M, B) Gaussian log-kernels between grid rows and point rows.
+
+  Squared distances use the ‖g‖² − 2 g·xᵀ + ‖x‖² expansion so the cross
+  term is one MXU matmul (same layout as distribution.evaluate_kde).
+  """
+  pts_sq = jnp.sum(points * points, axis=-1)
+  sq = grid_sq[:, None] - 2.0 * (grid @ points.T) + pts_sq[None, :]
+  return -0.5 * sq / (bandwidth * bandwidth)
+
+
+def _require_matrix(name: str, arr: jax.Array, like: Optional[jax.Array]):
+  if arr.ndim != 2:
+    raise ValueError(f'{name}: expected a (transitions, width) matrix, '
+                     f'got shape {arr.shape}')
+  if like is not None and arr.shape != like.shape:
+    raise ValueError(f'{name}: shape {arr.shape} does not match the real '
+                     f'dataset shape {like.shape}')
+
+
 def build_rsr_data(
-    real_data: jnp.ndarray,
-    previous_sim_data: jnp.ndarray,
-    current_sim_data: jnp.ndarray,
+    real_data: jax.Array,
+    previous_sim_data: jax.Array,
+    current_sim_data: jax.Array,
     *,
     num_samples: int = 10,
     min_value: float = -3.0,
@@ -54,112 +109,97 @@ def build_rsr_data(
     bandwidth: float = 0.1,
     seed: int = 0,
 ) -> RSRData:
-  """Precompute the fixed part of the objective (rsr_loss.py:43-91)."""
-  if real_data.ndim != 2:
-    raise ValueError(f'real_data must be rank 2, got shape {real_data.shape}')
-  if previous_sim_data.shape != real_data.shape:
-    raise ValueError(
-        'previous_sim_data must match real_data: '
-        f'{previous_sim_data.shape} != {real_data.shape}'
-    )
-  if current_sim_data.shape != real_data.shape:
-    raise ValueError(
-        'current_sim_data must match real_data: '
-        f'{current_sim_data.shape} != {real_data.shape}'
-    )
+  """Precompute the penalty state from the three fixed transition sets.
+
+  ``real_data`` / ``previous_sim_data`` fix the KL gain; the
+  ``current_sim_data`` rows become the KDE anchors the online transitions
+  are merged into.  All three are (N, obs+act+obs') matrices of matching
+  shape.
+  """
+  real_data = jnp.asarray(real_data)
+  previous_sim_data = jnp.asarray(previous_sim_data)
+  current_sim_data = jnp.asarray(current_sim_data)
+  _require_matrix('real_data', real_data, None)
+  _require_matrix('previous_sim_data', previous_sim_data, real_data)
+  _require_matrix('current_sim_data', current_sim_data, real_data)
   if num_samples <= 0:
     raise ValueError(f'num_samples must be positive, got {num_samples}')
   if bandwidth <= 0:
     raise ValueError(f'bandwidth must be positive, got {bandwidth}')
 
-  grid = make_grid(
-      num_samples,
-      real_data.shape[-1],
-      min_value=min_value,
-      max_value=max_value,
-      seed=seed,
+  n_anchors, width = current_sim_data.shape
+  grid = make_grid(num_samples, width, min_value=min_value,
+                   max_value=max_value, seed=seed)
+  grid_sq = jnp.sum(grid * grid, axis=-1)
+
+  weight = dp.kl_divergence(
+      dp.evaluate_kde(real_data, grid, bandwidth),
+      dp.evaluate_kde(previous_sim_data, grid, bandwidth),
   )
-  real_density = dp.evaluate_kde(real_data, grid, bandwidth)
-  previous_sim_density = dp.evaluate_kde(previous_sim_data, grid, bandwidth)
-  reference_density = dp.evaluate_kde(current_sim_data, grid, bandwidth)
-  divergence = dp.kl_divergence(real_density, previous_sim_density)
+  anchor_density = dp.evaluate_kde(current_sim_data, grid, bandwidth)
+  anchor_logsum = jax.scipy.special.logsumexp(
+      _log_kernel_block(grid, grid_sq, current_sim_data, bandwidth), axis=-1
+  )
   return RSRData(
-      divergence=divergence,
-      reference_density=reference_density,
-      reference_data=current_sim_data,
+      weight=weight,
       grid=grid,
+      grid_sq=grid_sq,
+      anchor_logsum=anchor_logsum,
+      target_cdf=jnp.cumsum(anchor_density),
+      n_anchors=int(n_anchors),
+      width=int(width),
       bandwidth=bandwidth,
   )
 
 
-def _as_rsr_data(past_data: Any) -> RSRData:
-  """Accept RSRData, a 5-tuple, or the legacy 3-tuple (rsr_loss.py:94-119)."""
-  if isinstance(past_data, RSRData):
-    return past_data
-  if not isinstance(past_data, (tuple, list)):
-    raise TypeError('past_data must be RSRData or a tuple/list')
-  if len(past_data) == 5:
-    return RSRData(*past_data)
-  if len(past_data) != 3:
-    raise ValueError(
-        'legacy past_data must contain (KLD, density, reference_data)'
-    )
-  divergence, reference_density, reference_data = past_data
-  grid = make_grid(
-      int(reference_density.shape[0]), int(reference_data.shape[-1])
-  )
-  return RSRData(
-      divergence=divergence,
-      reference_density=reference_density,
-      reference_data=reference_data,
-      grid=grid,
-      bandwidth=0.1,
-  )
-
-
 def compute_rsr_loss(
-    observations: jnp.ndarray,
-    policy_actions: jnp.ndarray,
-    next_observations: jnp.ndarray,
-    past_data: Any,
+    observations: jax.Array,
+    policy_actions: jax.Array,
+    next_observations: jax.Array,
+    past_data: Optional[RSRData],
     *,
     loss_scale: float = 1.0,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-  """RSR penalty = loss_scale · KL(real‖prev-sim) · W(current, reference)
-  over the augmented (reference + online) transition KDE
-  (rsr_loss.py:122-175).  Returns (scaled_loss, distribution_distance)."""
+) -> Tuple[jax.Array, jax.Array]:
+  """Penalty = loss_scale · KL(real‖prev-sim) · W(anchors+online, anchors).
+
+  The three online tensors may carry any leading batch/time dims; rows
+  are flattened into one transition batch.  ``past_data=None`` or
+  ``loss_scale == 0`` short-circuits to zeros so trainers can keep the
+  penalty as an always-present term.  Returns
+  ``(scaled_loss, distribution_distance)``.
+  """
   if past_data is None or loss_scale == 0.0:
-    zero = jnp.asarray(0.0, dtype=observations.dtype)
+    zero = jnp.zeros((), dtype=observations.dtype)
     return zero, zero
-
-  rsr_data = _as_rsr_data(past_data)
-  obs_size = observations.shape[-1]
-  act_size = policy_actions.shape[-1]
-  nobs_size = next_observations.shape[-1]
-
-  current_data = jnp.concatenate(
-      [
-          jnp.reshape(observations, (-1, obs_size)),
-          jnp.reshape(policy_actions, (-1, act_size)),
-          jnp.reshape(next_observations, (-1, nobs_size)),
-      ],
-      axis=-1,
-  )
-  if current_data.shape[-1] != rsr_data.reference_data.shape[-1]:
-    raise ValueError(
-        'online transition width does not match RSR reference data: '
-        f'{current_data.shape[-1]} != {rsr_data.reference_data.shape[-1]}'
+  if not isinstance(past_data, RSRData):
+    raise TypeError(
+        f'past_data must be RSRData or None, got {type(past_data)!r}; '
+        'build it with rsr.build_rsr_data / rsr.pipeline.build_policy_rsr_data'
     )
 
-  augmented = jnp.concatenate(
-      [rsr_data.reference_data, current_data], axis=0
+  online = jnp.concatenate(
+      [jnp.reshape(x, (-1, x.shape[-1]))
+       for x in (observations, policy_actions, next_observations)],
+      axis=-1,
   )
-  current_density = dp.evaluate_kde(
-      augmented, rsr_data.grid, rsr_data.bandwidth
+  if online.shape[-1] != past_data.width:
+    raise ValueError(
+        f'online transitions are {online.shape[-1]}-wide but the RSR '
+        f'anchors were built {past_data.width}-wide — the policy obs/act '
+        'layout must match the datasets the penalty was built from'
+    )
+
+  online_logsum = jax.scipy.special.logsumexp(
+      _log_kernel_block(
+          past_data.grid, past_data.grid_sq, online, past_data.bandwidth
+      ),
+      axis=-1,
   )
-  distance = dp.wasserstein_distance(
-      current_density, rsr_data.reference_density
+  # density of the anchor∪online set on the grid; softmax is invariant to
+  # the dropped −log(n_anchors + B) normalizer
+  density = jax.nn.softmax(
+      jnp.logaddexp(past_data.anchor_logsum, online_logsum)
   )
-  loss = jnp.asarray(loss_scale, dtype=distance.dtype)
-  loss *= rsr_data.divergence * distance
-  return loss, distance
+  distance = jnp.sum(jnp.abs(jnp.cumsum(density) - past_data.target_cdf))
+  penalty = jnp.asarray(loss_scale, distance.dtype) * past_data.weight
+  return penalty * distance, distance

@@ -48,7 +48,8 @@ def test_build_policy_rsr_data_validation():
   s = rng.randn(5, 4)
   a = rng.randn(5, 2)
   data = pipeline.build_policy_rsr_data(s, a, s + 0.1, s + 0.2, s + 0.05)
-  assert data.reference_data.shape == (5, 10)
+  assert (data.n_anchors, data.width) == (5, 10)
+  assert data.anchor_logsum.shape == data.target_cdf.shape == (10,)
   with pytest.raises(ValueError):
     pipeline.build_policy_rsr_data(s, a, s[:4] + 0.1, s + 0.2, s)
   with pytest.raises(ValueError):

@@ -75,6 +75,46 @@ def test_kde_properties():
   assert float(dp.wasserstein_distance(p, q)) > 0
 
 
+def test_rsr_loss_matches_direct_formulation():
+  """The precomputed-anchor fold-in (round-5 loss.py) must equal the
+  direct definition: KDE over the concatenated anchors+online set,
+  Wasserstein against the anchor density (reference semantics,
+  RSR/rsr_loss.py:122-175)."""
+  rng = np.random.RandomState(7)
+  N, D_OBS, D_ACT = 9, 3, 2
+  width = 2 * D_OBS + D_ACT
+  real = jnp.asarray(rng.randn(N, width))
+  prev = real + 0.2
+  cur = real + 0.1
+  bw = 0.7
+  data = rsr_loss.build_rsr_data(real, prev, cur, bandwidth=bw)
+
+  obs = jnp.asarray(rng.randn(4, D_OBS))
+  act = jnp.asarray(rng.randn(4, D_ACT))
+  nobs = jnp.asarray(rng.randn(4, D_OBS))
+  loss, dist_got = rsr_loss.compute_rsr_loss(
+      obs, act, nobs, data, loss_scale=2.5
+  )
+
+  online = jnp.concatenate([obs, act, nobs], axis=-1)
+  augmented = jnp.concatenate([cur, online], axis=0)
+  density = dp.evaluate_kde(augmented, data.grid, bw)
+  dist_want = dp.wasserstein_distance(
+      density, dp.evaluate_kde(cur, data.grid, bw)
+  )
+  kl_want = dp.kl_divergence(
+      dp.evaluate_kde(real, data.grid, bw),
+      dp.evaluate_kde(prev, data.grid, bw),
+  )
+  np.testing.assert_allclose(
+      float(dist_got), float(dist_want), rtol=1e-5, atol=1e-7
+  )
+  np.testing.assert_allclose(
+      float(loss), 2.5 * float(kl_want) * float(dist_want),
+      rtol=1e-5, atol=1e-7,
+  )
+
+
 def test_rsr_loss_gradient_flows_through_actions():
   """The penalty must produce nonzero gradient w.r.t. the policy action
   (the reference docstring property, RSR/rsr_loss.py:1-7)."""
