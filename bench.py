@@ -23,10 +23,10 @@ def main():
   num_envs = 1024 * n_dev
   steps = 50
 
-  # top-k active-contact selection: Newton system sees ≤32 of the scene's
-  # 480 contact slots (≤ ~16 penetrate even under aggressive manipulation;
+  # top-k active-contact selection: Newton system sees ≤24 of the scene's
+  # 480 contact slots (≤12 penetrate even under an end-effector slam;
   # bound asserted with margin in test_physics_contact.py).
-  env_core = envs.load('AirbotCubePush', max_contacts=32)
+  env_core = envs.load('AirbotCubePush', max_contacts=24)
   from rsr_mjx_tpu.envs import wrappers
 
   env = wrappers.wrap_for_training(

@@ -52,7 +52,7 @@ class AirbotCubePush(core.Env):
       target_max_x: float | None = None,
       target_min_y: float | None = None,
       target_max_y: float | None = None,
-      max_contacts: int = 32,
+      max_contacts: int = 24,
   ):
     assert variant in ('rsr', 'train'), variant
     self.variant = variant
@@ -91,11 +91,11 @@ class AirbotCubePush(core.Env):
 
     # max_contacts > 0 enables top-k active-contact selection in the Newton
     # solver (exact as long as k ≥ simultaneously-touching contacts; the
-    # cube scene has 480 pair slots but ≤ ~32 ever in contact — see
-    # test_topk_contact_selection_parity and
+    # cube scene has 480 pair slots but ≤ 12 ever penetrate even under an
+    # end-effector slam — measured on the full model, see
     # test_contact_selection_parity_manipulation_regime in
-    # tests/test_physics_contact.py).  Pass max_contacts=0 for the full
-    # (no-selection) solve.
+    # tests/test_physics_contact.py; the round-5 default 24 keeps 2x
+    # margin).  Pass max_contacts=0 for the full (no-selection) solve.
     self._model, self._mjm = physics.load_model_from_xml(
         xml, max_contacts=max_contacts
     )

@@ -688,22 +688,13 @@ def geoms_colliding(m: Model, d: Data, geom1: int, geom2: int) -> jax.Array:
   return jnp.any(d.contact.dist[sel] < 0)
 
 
-def collision(m: Model, d: Data) -> Data:
-  """Run the narrow phase; assemble the static Contact set."""
-  if m.ncon == 0:
-    return d
+def contact_static_ids(m: Model):
+  """Static per-slot (geom1, geom2, condim) StaticArrs in slot order.
 
+  Fills Contact's metadata at make_data time so contact queries
+  (geoms_colliding) work on any Data whose ``dist`` was produced by the
+  fused solver — which never materializes the rest of the Contact set."""
   from rsr_mjx_tpu.physics.io import GROUP_NCON
-
-  cfg = _cfg_of(m)
-  fn = _make_collider(cfg)
-  hfd = m.hfield_data
-  if hfd is None:
-    hfd = jnp.zeros((0,), dtype=d.qpos.dtype)
-  dist, pos, frame = fn(m.geom_size, hfd, d.geom_xpos, d.geom_xmat)
-  friction, solref, solimp = combine_solparams(
-      cfg, m.geom_friction, m.geom_solref, m.geom_solimp, m.geom_solmix
-  )
 
   g1_parts, g2_parts, condim_parts = [], [], []
   for name, tbl in m.pairs:
@@ -714,7 +705,33 @@ def collision(m: Model, d: Data) -> Data:
     g1_parts.append(np.repeat(pairs[:, 0], k))
     g2_parts.append(np.repeat(pairs[:, 1], k))
     condim_parts.append(np.repeat(pairs[:, 2], k))
+  return (
+      StaticArr(np.concatenate(g1_parts)),
+      StaticArr(np.concatenate(g2_parts)),
+      StaticArr(np.concatenate(condim_parts)),
+  )
 
+
+def collision(m: Model, d: Data) -> Data:
+  """Run the narrow phase; assemble the full Contact set.
+
+  Not on the hot path any more (round-5): ``solver.solve_fused`` runs the
+  narrow phase internally in lanes layout and writes back only ``dist``.
+  This standalone version materializes everything — used by fwd_position
+  callers that want a complete Contact (tests, debugging, profiling)."""
+  if m.ncon == 0:
+    return d
+
+  cfg = _cfg_of(m)
+  fn = _make_collider(cfg)
+  hfd = m.hfield_data
+  if hfd is None:
+    hfd = jnp.zeros((0,), dtype=d.qpos.dtype)
+  dist, pos, frame = fn(m.geom_size, hfd, d.geom_xpos, d.geom_xmat)
+  friction, solref, solimp = combine_solparams(
+      cfg, m.geom_friction, m.geom_solref, m.geom_solimp, m.geom_solmix
+  )
+  g1, g2, condim = contact_static_ids(m)
   contact = Contact(
       dist=dist,
       pos=pos,
@@ -722,8 +739,8 @@ def collision(m: Model, d: Data) -> Data:
       friction=friction,
       solref=solref,
       solimp=solimp,
-      geom1=StaticArr(np.concatenate(g1_parts)),
-      geom2=StaticArr(np.concatenate(g2_parts)),
-      condim=StaticArr(np.concatenate(condim_parts)),
+      geom1=g1,
+      geom2=g2,
+      condim=condim,
   )
   return d.replace(contact=contact)

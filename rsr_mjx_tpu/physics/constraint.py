@@ -216,15 +216,24 @@ class AssembleLeaves(NamedTuple):
   """The traced leaves the assembly reads, as an explicit pytree so the
   fused solver (solver.py) can route them through custom_vmap/custom_vjp —
   model leaves must be explicit args there because domain randomization
-  batches them (wrappers.DomainRandomizationVmapWrapper)."""
+  batches them (wrappers.DomainRandomizationVmapWrapper).
+
+  Round-5 fusion: the contact *geometry* inputs are the narrow-phase
+  inputs (geom poses + sizes), not its outputs — the fused solver runs
+  the narrow phase itself so the batched TPU path keeps contact features
+  in lanes layout end-to-end.  The per-slot solver parameters
+  (``con_friction/solref/solimp/invweight``) stay precomputed: they are
+  pure functions of model leaves (mj_contactParam never reads positions),
+  so they are assembled once per env outside the lanes pipeline."""
 
   qpos: jax.Array
   qvel: jax.Array
   cdof: jax.Array
   cdof_anchor: jax.Array
-  con_dist: jax.Array
-  con_pos: jax.Array
-  con_frame: jax.Array
+  geom_xpos: jax.Array
+  geom_xmat: jax.Array
+  geom_size: jax.Array
+  hfield_data: jax.Array
   con_friction: jax.Array
   con_solref: jax.Array
   con_solimp: jax.Array
@@ -243,26 +252,70 @@ class AssembleLeaves(NamedTuple):
   jnt_margin: jax.Array
 
 
+_GEOM_IDS_CACHE: dict = {}
+
+
+def contact_geom_ids(m: Model):
+  """Static per-slot (geom1, geom2) int arrays in collision slot order."""
+  from rsr_mjx_tpu.physics.io import GROUP_NCON
+
+  key = tuple((n, t) for n, t in m.pairs)
+  if key not in _GEOM_IDS_CACHE:
+    g1_parts, g2_parts = [], []
+    for name, tbl in m.pairs:
+      pairs = tbl.arr
+      if len(pairs) == 0:
+        continue
+      k = GROUP_NCON[name]
+      g1_parts.append(np.repeat(pairs[:, 0], k))
+      g2_parts.append(np.repeat(pairs[:, 1], k))
+    g1 = np.concatenate(g1_parts) if g1_parts else np.zeros(0, np.int32)
+    g2 = np.concatenate(g2_parts) if g2_parts else np.zeros(0, np.int32)
+    _GEOM_IDS_CACHE[key] = (g1, g2)
+  return _GEOM_IDS_CACHE[key]
+
+
+def narrowphase_leaves(m: Model, lv: AssembleLeaves):
+  """Per-env narrow phase from leaves: (dist (ncon,), pos, frame).
+
+  Dispatches through the collision module's cached collider, whose
+  custom_vmap rule computes whole batches in lanes layout and whose
+  custom_vjp keeps it differentiable (env_params_tuning path)."""
+  from rsr_mjx_tpu.physics import collision as _col
+
+  fn = _col._make_collider(_col._cfg_of(m))
+  return fn(lv.geom_size, lv.hfield_data, lv.geom_xpos, lv.geom_xmat)
+
+
 def gather_leaves(m: Model, d: Data) -> AssembleLeaves:
   """Collect the assembly's traced inputs from (m, d).
 
-  ``con_invweight`` pre-gathers body_invweight0 over the static contact
-  geom ids so the fused path needs no per-model indexing."""
+  ``con_*`` leaves precompute the per-slot contact solver parameters
+  (mj_contactParam mixing + body invweights) from model leaves — static
+  w.r.t. the dynamics, batched only under domain randomization."""
+  from rsr_mjx_tpu.physics import collision as _col
+
   if m.ncon:
-    con = d.contact
-    g1 = con.geom1.arr
-    g2 = con.geom2.arr
+    g1, g2 = contact_geom_ids(m)
     b1 = m.geom_bodyid.arr[g1]
     b2 = m.geom_bodyid.arr[g2]
     con_invweight = m.body_invweight0[b1][:, 0] + m.body_invweight0[b2][:, 0]
-    con_fields = (con.dist, con.pos, con.frame, con.friction, con.solref,
-                  con.solimp, con_invweight)
+    con_friction, con_solref, con_solimp = _col.combine_solparams(
+        _col._cfg_of(m), m.geom_friction, m.geom_solref, m.geom_solimp,
+        m.geom_solmix,
+    )
   else:
     z = jnp.zeros((0,), dtype=d.qpos.dtype)
-    con_fields = (z, z.reshape(0, 3), z.reshape(0, 3, 3), z.reshape(0, 5),
-                  z.reshape(0, 2), z.reshape(0, 5), z)
+    con_friction, con_solref, con_solimp, con_invweight = (
+        z.reshape(0, 5), z.reshape(0, 2), z.reshape(0, 5), z
+    )
+  hfd = m.hfield_data
+  if hfd is None:
+    hfd = jnp.zeros((0,), dtype=d.qpos.dtype)
   return AssembleLeaves(
-      d.qpos, d.qvel, d.cdof, d.cdof_anchor, *con_fields,
+      d.qpos, d.qvel, d.cdof, d.cdof_anchor,
+      d.geom_xpos, d.geom_xmat, m.geom_size, hfd,
+      con_friction, con_solref, con_solimp, con_invweight,
       m.eq_data, m.qpos0, m.dof_invweight0, m.eq_solref, m.eq_solimp,
       m.dof_solref, m.dof_solimp, m.dof_frictionloss,
       m.jnt_range, m.jnt_solref, m.jnt_solimp, m.jnt_margin,
@@ -294,13 +347,18 @@ def _assemble(m: Model, d: Data) -> Efc:
   return assemble_from_leaves(m, gather_leaves(m, d))
 
 
-def assemble_from_leaves(m: Model, lv: AssembleLeaves) -> Efc:
+def assemble_from_leaves(m: Model, lv: AssembleLeaves, contact=None) -> Efc:
   """Per-env assembly from explicit traced leaves (static info from m).
 
   This is the single source of truth for constraint-row semantics; the
   vmapped batch-major path, the fused lanes path's reference, and the
   fused solver's custom_vjp backward all call it.
+
+  ``contact`` is an optional precomputed (dist, pos, frame) narrow-phase
+  triple; when absent it is computed from the leaves here.
   """
+  if contact is None and m.ncon:
+    contact = narrowphase_leaves(m, lv)
   lay = layout_cached(m)
   dtype = lv.qpos.dtype
   nv = m.nv
@@ -401,6 +459,7 @@ def assemble_from_leaves(m: Model, lv: AssembleLeaves) -> Efc:
 
   # ---- contacts (pyramidal cones), fully vectorized per condim group
   if m.ncon:
+    con_dist, con_pos, con_frame = contact
     dmask_all = jnp.asarray(contact_dmask(m), dtype=dtype)
     invweight_all = lv.con_invweight
 
@@ -420,15 +479,15 @@ def assemble_from_leaves(m: Model, lv: AssembleLeaves) -> Efc:
       # (nsel × ncon) @ (ncon × F) contraction that lands on the MXU.
       # One-hot weights make it an exact gather, and gradients flow
       # through the matmul to the contact features like any dot product.
-      _, sel_idx = jax.lax.top_k(-lv.con_dist, nsel)
+      _, sel_idx = jax.lax.top_k(-con_dist, nsel)
       onehot = (
           sel_idx[:, None] == jnp.arange(m.ncon, dtype=sel_idx.dtype)
       ).astype(dtype)  # (nsel, ncon)
       feat = jnp.concatenate(
           [
-              lv.con_dist[:, None],
-              lv.con_pos,
-              lv.con_frame.reshape(m.ncon, 9),
+              con_dist[:, None],
+              con_pos,
+              con_frame.reshape(m.ncon, 9),
               lv.con_friction,
               lv.con_solref,
               lv.con_solimp,
@@ -447,7 +506,7 @@ def assemble_from_leaves(m: Model, lv: AssembleLeaves) -> Efc:
       dmask = onehot @ dmask_all  # (nsel, nv); dmask_all is static numpy
       groups = [(int(_condims_static(m)[0]), slice(None))]
     else:
-      c_dist, c_pos, c_frame = lv.con_dist, lv.con_pos, lv.con_frame
+      c_dist, c_pos, c_frame = con_dist, con_pos, con_frame
       c_friction, c_solref, c_solimp = (
           lv.con_friction, lv.con_solref, lv.con_solimp
       )

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from rsr_mjx_tpu.physics import collision as _collision
 from rsr_mjx_tpu.physics import constraint as _constraint
 from rsr_mjx_tpu.physics import kinematics as _kin
+from rsr_mjx_tpu.physics import lanes_smooth as _lanes_smooth
 from rsr_mjx_tpu.physics import lie
 from rsr_mjx_tpu.physics import sensors as _sensors
 from rsr_mjx_tpu.physics import smooth as _smooth
@@ -38,6 +39,10 @@ def make_data(m: Model, dtype=jnp.float32) -> Data:
   """Fresh Data at qpos0 with zero velocity (equiv. mjx.make_data)."""
   z = lambda *shape: jnp.zeros(shape, dtype=dtype)
   nefc = _constraint.count_rows(m)
+  if m.ncon:
+    con_g1, con_g2, con_cd = _collision.contact_static_ids(m)
+  else:
+    con_g1 = con_g2 = con_cd = None
   d = Data(
       qpos=jnp.asarray(m.qpos0, dtype=dtype),
       qvel=z(m.nv),
@@ -69,16 +74,21 @@ def make_data(m: Model, dtype=jnp.float32) -> Data:
       qacc_smooth=z(m.nv),
       qfrc_constraint=z(m.nv),
       qacc=z(m.nv),
+      # Slim hot-path Contact: only ``dist`` is dynamic (filled by the
+      # fused solver); pos/frame/solparams are not materialized on the hot
+      # path any more (round-5 fusion) and would otherwise ride every
+      # substep-scan carry and AutoReset where() at (B, ncon, 3, 3) size.
+      # collision() builds the full Contact for standalone/diagnostic use.
       contact=Contact(
           dist=jnp.full((m.ncon,), 1e10, dtype=dtype),
-          pos=z(m.ncon, 3),
-          frame=z(m.ncon, 3, 3),
-          friction=z(m.ncon, 5),
-          solref=z(m.ncon, 2),
-          solimp=z(m.ncon, 5),
-          geom1=None,
-          geom2=None,
-          condim=None,
+          pos=None,
+          frame=None,
+          friction=None,
+          solref=None,
+          solimp=None,
+          geom1=con_g1,
+          geom2=con_g2,
+          condim=con_cd,
       ),
       efc_force=z(nefc),
       sensordata=z(m.nsensordata),
@@ -86,12 +96,17 @@ def make_data(m: Model, dtype=jnp.float32) -> Data:
   return d
 
 
-def fwd_position(m: Model, d: Data) -> Data:
+def fwd_position(m: Model, d: Data, collision: bool = True) -> Data:
+  """Position-dependent stages.  ``collision=True`` materializes the full
+  Contact set (standalone/diagnostic use); the hot path passes False —
+  solve_fused runs the narrow phase internally, in lanes layout, and
+  writes back contact.dist only."""
   with jax.default_matmul_precision('highest'):
     d = _kin.kinematics(m, d)
     d = _kin.com_vel(m, d)
     d = _smooth.crb(m, d)
-    d = _collision.collision(m, d)
+    if collision:
+      d = _collision.collision(m, d)
   return d
 
 
@@ -107,13 +122,12 @@ def forward(m: Model, d: Data) -> Data:
   the physics step keep the fast default.
   """
   with jax.default_matmul_precision('highest'):
-    d = fwd_position(m, d)
-    d = _smooth.rne(m, d)
-    d = _smooth.passive(m, d)
-    d = _smooth.actuation(m, d)
-    d = _smooth.fwd_velocity(m, d)
-    # fused assembly + Newton solve: the batched TPU path runs lanes-layout
-    # assembly straight into the lanes Newton kernel (no batch-major J)
+    d = _kin.kinematics(m, d)
+    # smooth dynamics (com_vel..fwd_velocity) fused: the batched TPU path
+    # runs entirely in lanes layout (physics/lanes_smooth.py)
+    d = _lanes_smooth.smooth_fused(m, d)
+    # fused narrow phase + assembly + Newton solve: the batched TPU path
+    # keeps contact features and J in lanes end-to-end (no batch-major J)
     d = _solver.solve_fused(m, d)
     d = _sensors.sensordata(m, d)
   return d

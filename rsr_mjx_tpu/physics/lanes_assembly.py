@@ -78,12 +78,23 @@ def _kbi_l(sr, dmax):
 
 def assemble_lanes(
     m: Model, lv: C.AssembleLeaves
-) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-  """Lanes-layout assembly over a batch.
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+  """Lanes-layout narrow phase + assembly over a batch.
 
-  ``lv`` leaves are batch-major with a leading batch axis B on EVERY leaf
-  (unbatched model leaves must be pre-broadcast by the caller).
-  Returns (J (nv, nefc, B), aref (nefc, B), D (nefc, B), floss (nefc, B)).
+  ``lv`` leaves are batch-major with a leading batch axis B, EXCEPT
+  ``hfield_data`` (always unbatched) and ``geom_size`` /
+  ``con_friction/solref/solimp/invweight`` which may be unbatched when
+  domain randomization does not touch them (the caller broadcasts
+  DR-batched leaves only; see solver._build_fused's _NO_BCAST).
+
+  Round-5: the narrow phase (collision._collide_lanes) runs inside, in
+  lanes layout, so the dynamic contact features (dist/pos/frame) feed the
+  Jacobian build without ever becoming batch-major — round 4 spent
+  ~0.8 ms/substep at B=1024 transposing them out of the collider and back
+  (PROFILE.md bottleneck #1).
+
+  Returns (J (nv, nefc, B), aref (nefc, B), D (nefc, B), floss (nefc, B),
+  dist_bm (B, ncon)) — dist crosses to batch-major for Data.contact.
   """
   lay = C.layout_cached(m)
   nv = m.nv
@@ -195,51 +206,81 @@ def assemble_lanes(
 
   # ---- contacts
   if m.ncon:
+    from rsr_mjx_tpu.physics import collision as _col
+
     dmask_all = C.contact_dmask(m).astype(np.float32)  # (ncon, nv) static
     nsel = C._selection_size(m)
     impratio = m.opt.impratio
 
+    # narrow phase, in lanes.  geom_size may be unbatched (no randomizer
+    # touches it in either model family) → trailing batch 1 broadcasts.
+    cfg = _col._cfg_of(m)
+    size_l = (
+        _lanes(lv.geom_size) if lv.geom_size.ndim == 3
+        else lv.geom_size[..., None]
+    )
+    dist_l, pos_l, frame_l = _col._collide_lanes(
+        cfg, size_l, None, None, None, None, lv.hfield_data,
+        _lanes(lv.geom_xpos), _lanes(lv.geom_xmat),
+        include_solparams=False,
+    )  # (ncon, B), (ncon, 3, B), (ncon, 3, 3, B)
+    dist_bm = jnp.moveaxis(dist_l, -1, 0)  # (B, ncon) — crosses back
+
+    # per-slot solver params: unbatched (ncon, c) unless DR-batched
+    st_batched = lv.con_friction.ndim == 3
+
     if nsel:
-      # top-k nearest slots; gather as one batched MXU matmul
-      # (constraint.py round-3 one-hot gather), then move the small
-      # selected feature block to lanes.
-      _, sel_idx = jax.lax.top_k(-lv.con_dist, nsel)  # (B, nsel)
+      # top-k nearest slots.  Selection indices come from the batch-major
+      # dist (top_k reduces the minor axis); the feature gather stays in
+      # lanes as a batched one-hot MXU contraction (nsel×ncon)@(ncon×13).
+      _, sel_idx = jax.lax.top_k(-dist_bm, nsel)  # (B, nsel)
       onehot = (
           sel_idx[..., None] == jnp.arange(m.ncon, dtype=sel_idx.dtype)
       ).astype(dtype)  # (B, nsel, ncon)
-      feat = jnp.concatenate(
-          [
-              lv.con_dist[..., None],
-              lv.con_pos,
-              lv.con_frame.reshape(B, m.ncon, 9),
-              lv.con_friction,
-              lv.con_solref,
-              lv.con_solimp,
-              lv.con_invweight[..., None],
-          ],
-          axis=2,
-      )  # (B, ncon, 26)
-      sel = jnp.einsum('bsc,bcf->bsf', onehot, feat)  # (B, nsel, 26)
-      sel_l = _lanes(sel)  # (nsel, 26, B)
-      c_dist = sel_l[:, 0]  # (nc, B)
-      c_pos = sel_l[:, 1:4]  # (nc, 3, B)
-      c_frame = sel_l[:, 4:13]  # (nc, 9, B)
-      c_friction = sel_l[:, 13:18]
-      c_solref = sel_l[:, 18:20]
-      c_solimp = sel_l[:, 20:25]
-      c_invw = sel_l[:, 25]
+      feat_dyn = jnp.concatenate(
+          [dist_l[:, None], pos_l, frame_l.reshape(m.ncon, 9, B)], axis=1
+      )  # (ncon, 13, B)
+      sel_dyn = jnp.einsum('bsc,cfb->sfb', onehot, feat_dyn)
+      c_dist = sel_dyn[:, 0]  # (nc, B)
+      c_pos = sel_dyn[:, 1:4]  # (nc, 3, B)
+      c_frame = sel_dyn[:, 4:13]  # (nc, 9, B)
+      if st_batched:
+        feat_st = jnp.concatenate(
+            [lv.con_friction, lv.con_solref, lv.con_solimp,
+             lv.con_invweight[..., None]], axis=2
+        )  # (B, ncon, 13)
+        sel_st = _lanes(jnp.einsum('bsc,bcf->bsf', onehot, feat_st))
+      else:
+        feat_st = jnp.concatenate(
+            [lv.con_friction, lv.con_solref, lv.con_solimp,
+             lv.con_invweight[:, None]], axis=1
+        )  # (ncon, 13)
+        sel_st = _lanes(
+            jnp.einsum('bsc,cf->bsf', onehot, feat_st.astype(dtype))
+        )  # (nsel, 13, B)
+      c_friction = sel_st[:, 0:5]
+      c_solref = sel_st[:, 5:7]
+      c_solimp = sel_st[:, 7:12]
+      c_invw = sel_st[:, 12]
       dmask = _lanes(
           jnp.einsum('bsc,cv->bsv', onehot, jnp.asarray(dmask_all, dtype))
       )  # (nc, nv, B)
       groups = [(int(C._condims_static(m)[0]), slice(None))]
     else:
-      c_dist = _lanes(lv.con_dist)  # (ncon, B)
-      c_pos = _lanes(lv.con_pos)  # (ncon, 3, B)
-      c_frame = _lanes(lv.con_frame).reshape(m.ncon, 9, B)
-      c_friction = _lanes(lv.con_friction)
-      c_solref = _lanes(lv.con_solref)
-      c_solimp = _lanes(lv.con_solimp)
-      c_invw = _lanes(lv.con_invweight)
+      bc = lambda a: jnp.broadcast_to(a, a.shape[:-1] + (B,))
+      c_dist = dist_l  # (ncon, B)
+      c_pos = pos_l  # (ncon, 3, B)
+      c_frame = frame_l.reshape(m.ncon, 9, B)
+      if st_batched:
+        c_friction = _lanes(lv.con_friction)
+        c_solref = _lanes(lv.con_solref)
+        c_solimp = _lanes(lv.con_solimp)
+        c_invw = _lanes(lv.con_invweight)
+      else:
+        c_friction = bc(lv.con_friction[..., None])
+        c_solref = bc(lv.con_solref[..., None])
+        c_solimp = bc(lv.con_solimp[..., None])
+        c_invw = bc(lv.con_invweight[..., None])
       dmask = jnp.broadcast_to(
           jnp.asarray(dmask_all, dtype)[:, :, None], (m.ncon, nv, B)
       )
@@ -354,4 +395,6 @@ def assemble_lanes(
   D = jnp.where(onesided & separated, 0.0, D)
   aref = jnp.where(onesided & separated, 0.0, aref)
 
-  return J, aref, D, floss
+  if not m.ncon:
+    dist_bm = jnp.zeros((B, 0), dtype)
+  return J, aref, D, floss, dist_bm

@@ -105,22 +105,18 @@ def _spd_kernel(n: int, eps: float, A_ref, b_ref, x_ref):
   x_ref[...] = _cho_solve_cols(cols, djs, b_ref[...], n)
 
 
-def spd_solve_batched(A: jax.Array, b: jax.Array, eps: float = 1e-12):
-  """Batched SPD solve on TPU; A (B, n, n), b (B, n) → (B, n), all f32."""
-  B, n = b.shape
+def spd_solve_lanes(At: jax.Array, bt: jax.Array, eps: float = 1e-12):
+  """Lanes-layout batched SPD solve; A (n, n, B), b (n, B) → x (n, B)."""
+  n, B = bt.shape
   Bp = _round_up(max(B, 1), _BE)
-  At = jnp.transpose(A, (1, 2, 0))  # (n, n, B)
-  bt = jnp.transpose(b, (1, 0))
   if Bp != B:
-    # pad with identity systems so the Cholesky stays well-posed
-    eye = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype)[:, :, None],
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=At.dtype)[:, :, None],
                            (n, n, Bp - B))
     At = jnp.concatenate([At, eye], axis=-1)
-    bt = jnp.concatenate([bt, jnp.zeros((n, Bp - B), b.dtype)], axis=-1)
-
+    bt = jnp.concatenate([bt, jnp.zeros((n, Bp - B), bt.dtype)], axis=-1)
   xt = pl.pallas_call(
       functools.partial(_spd_kernel, n, eps),
-      out_shape=jax.ShapeDtypeStruct((n, Bp), b.dtype),
+      out_shape=jax.ShapeDtypeStruct((n, Bp), bt.dtype),
       grid=(Bp // _BE,),
       in_specs=[
           pl.BlockSpec((n, n, _BE), lambda i: (0, 0, i),
@@ -131,7 +127,15 @@ def spd_solve_batched(A: jax.Array, b: jax.Array, eps: float = 1e-12):
                              memory_space=pltpu.VMEM),
       interpret=_INTERPRET,
   )(At, bt)
-  return jnp.transpose(xt[:, :B], (1, 0))
+  return xt[:, :B]
+
+
+def spd_solve_batched(A: jax.Array, b: jax.Array, eps: float = 1e-12):
+  """Batched SPD solve on TPU; A (B, n, n), b (B, n) → (B, n), all f32."""
+  xt = spd_solve_lanes(
+      jnp.transpose(A, (1, 2, 0)), jnp.transpose(b, (1, 0)), eps
+  )
+  return jnp.transpose(xt, (1, 0))
 
 
 def _use_tpu_kernels() -> bool:

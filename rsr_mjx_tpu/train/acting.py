@@ -52,7 +52,12 @@ def generate_unroll(
 
   def f(carry, _):
     state, current_key = carry
-    current_key, next_key = jax.random.split(current_key)
+    if current_key.ndim == 2:
+      # per-env key streams (B, 2): device-layout-invariant rollout noise
+      keys = jax.vmap(jax.random.split)(current_key)
+      current_key, next_key = keys[:, 0], keys[:, 1]
+    else:
+      current_key, next_key = jax.random.split(current_key)
     nstate, transition = actor_step(
         env, state, policy, current_key, extra_fields=extra_fields
     )

@@ -106,7 +106,11 @@ def sac_config(env_name: str) -> config_dict.ConfigDict:
     return config_dict.create(
         num_timesteps=500_000,
         num_evals=10,
-        reward_scaling=1.0,
+        # reference train_sac.py:42 — critical for critic conditioning:
+        # unscaled per-step rewards are ~6-8 so Q-targets reach ~175 at
+        # γ=0.96; 0.1 keeps them O(17) (round-4's 1.0 was a config bug
+        # behind the declining SAC curve, VERDICT r4 weak #2)
+        reward_scaling=0.1,
         episode_length=1200,
         normalize_observations=True,
         action_repeat=1,

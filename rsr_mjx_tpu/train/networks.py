@@ -202,7 +202,16 @@ def make_inference_fn(networks: PPONetworks, normalizer=None):
       logits = networks.policy_logits(net_params, obs)
       if deterministic:
         return networks.distribution.mode(logits), {}
-      raw = networks.distribution.sample_no_postprocess(logits, rng)
+      if rng.ndim == 2:
+        # per-env keys (rng (B, 2)): each env draws from its own stream,
+        # making rollout noise independent of the device/batch layout —
+        # the property behind dryrun_multichip's 1-vs-N equivalence
+        # assert (shard_map-era pmap.assert_is_replicated analogue).
+        raw = jax.vmap(networks.distribution.sample_no_postprocess)(
+            logits, rng
+        )
+      else:
+        raw = networks.distribution.sample_no_postprocess(logits, rng)
       log_prob = networks.distribution.log_prob(logits, raw)
       actions = networks.distribution.postprocess(raw)
       return actions, {'log_prob': log_prob, 'raw_action': raw}

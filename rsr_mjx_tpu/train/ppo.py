@@ -214,7 +214,13 @@ def train(
           else obs
       )
       logits = network.policy_logits(params, obs_n)
-      raw = network.distribution.sample_no_postprocess(logits, rng)
+      if rng.ndim == 2:
+        # per-env keys: layout-invariant rollout noise (see roll())
+        raw = jax.vmap(network.distribution.sample_no_postprocess)(
+            logits, rng
+        )
+      else:
+        raw = network.distribution.sample_no_postprocess(logits, rng)
       log_prob = network.distribution.log_prob(logits, raw)
       actions = network.distribution.postprocess(raw)
       return actions, {'log_prob': log_prob, 'raw_action': raw}
@@ -254,29 +260,35 @@ def train(
     return (optimizer_state, params, key), metrics
 
   def training_step(carry, unused_t):
-    training_state, state, key = carry
-    key_sgd, key_generate_unroll, new_key = jax.random.split(key, 3)
+    training_state, state, act_keys, key = carry
+    key_sgd, new_key = jax.random.split(key)
 
     policy = policy_for_rollout(
         (training_state.normalizer_params, training_state.params)
     )
 
     def roll(carry, unused_t):
-      current_state, current_key = carry
-      current_key, next_key = jax.random.split(current_key)
+      # act_keys are PER-ENV rollout streams (B_local, 2): each env's
+      # action noise depends only on its global identity, never on the
+      # device/batch layout — so a 1-device and an N-device run with the
+      # same seed produce identical trajectories (asserted by
+      # __graft_entry__.dryrun_multichip; shard_map-era analogue of
+      # pmap.assert_is_replicated, RSR/train.py:498-502).
+      current_state, keys = carry
+      keys2 = jax.vmap(jax.random.split)(keys)  # (B, 2, 2)
       next_state, data = acting.generate_unroll(
           env,
           current_state,
           policy,
-          current_key,
+          keys2[:, 0],
           unroll_length,
           extra_fields=('truncation',),
       )
-      return (next_state, next_key), data
+      return (next_state, keys2[:, 1]), data
 
-    (state, _), data = jax.lax.scan(
+    (state, act_keys), data = jax.lax.scan(
         roll,
-        (state, key_generate_unroll),
+        (state, act_keys),
         (),
         length=batch_size * num_minibatches // num_envs,
     )
@@ -309,13 +321,13 @@ def train(
         normalizer_params=normalizer_params,
         env_steps=training_state.env_steps + env_step_per_training_step,
     )
-    return (new_training_state, state, new_key), metrics
+    return (new_training_state, state, act_keys, new_key), metrics
 
-  def _epoch_body(training_state, state, key):
+  def _epoch_body(training_state, state, act_keys, key):
     key = key.reshape(2)
-    (training_state, state, _), loss_metrics = jax.lax.scan(
+    (training_state, state, _, _), loss_metrics = jax.lax.scan(
         training_step,
-        (training_state, state, key),
+        (training_state, state, act_keys, key),
         (),
         length=num_training_steps_per_epoch,
     )
@@ -328,7 +340,7 @@ def train(
       shard_map(
           _epoch_body,
           mesh=mesh,
-          in_specs=(P(), state_spec, P(_MESH_AXIS)),
+          in_specs=(P(), state_spec, P(_MESH_AXIS), P(_MESH_AXIS)),
           out_specs=(P(), state_spec, P()),
           check_vma=False,
       )
@@ -384,10 +396,13 @@ def train(
 
   for epoch in range(num_evals_after_init):
     t = time.time()
-    local_key, epoch_key = jax.random.split(local_key)
+    local_key, epoch_key, act_key = jax.random.split(local_key, 3)
     epoch_keys = jax.random.split(epoch_key, num_devices)
+    # per-env rollout streams, split over the SAME global env layout as
+    # the reset keys so they are device-count invariant
+    epoch_act_keys = jax.random.split(act_key, num_envs // process_count)
     training_state, env_state, loss_metrics = training_epoch(
-        training_state, env_state, epoch_keys
+        training_state, env_state, epoch_act_keys, epoch_keys
     )
     loss_metrics = jax.tree.map(jnp.mean, loss_metrics)
     jax.block_until_ready(training_state.params)

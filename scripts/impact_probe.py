@@ -61,10 +61,10 @@ def max_cube_speed(env, seeds=(0, 1, 2), steps=100):
 
 
 def main():
-  env = envs.load('AirbotCubePush', max_contacts=32)
+  env = envs.load('AirbotCubePush')
 
   # batched (kernel path engages under vmap on TPU)
-  envs_b = envs.load('AirbotCubePush', max_contacts=32)
+  envs_b = envs.load('AirbotCubePush')
 
   def batched_speed():
     m = envs_b.model

@@ -50,13 +50,16 @@ def test_lanes_assembly_parity(env_name):
   B = lv.qpos.shape[0]
 
   def ref(lv1):
-    efc = C.assemble_from_leaves(m, lv1)
-    return efc.J, efc.aref, efc.D, efc.floss
+    dist, pos, frame = C.narrowphase_leaves(m, lv1)
+    efc = C.assemble_from_leaves(m, lv1, contact=(dist, pos, frame))
+    return efc.J, efc.aref, efc.D, efc.floss, dist
 
-  J_ref, aref_ref, D_ref, fl_ref = jax.jit(jax.vmap(ref))(lv)
-  Jl, arefl, Dl, fll = jax.jit(
+  J_ref, aref_ref, D_ref, fl_ref, dist_ref = jax.jit(jax.vmap(ref))(lv)
+  Jl, arefl, Dl, fll, dist_bm = jax.jit(
       lambda lv: lanes_assembly.assemble_lanes(m, lv)
   )(lv)
+  np.testing.assert_allclose(np.asarray(dist_bm), np.asarray(dist_ref),
+                             rtol=1e-6, atol=1e-6)
 
   # lanes (nv, R, B) → batch-major (B, R, nv)
   J_l2b = jnp.transpose(Jl, (2, 1, 0))
