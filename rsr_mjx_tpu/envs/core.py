@@ -86,14 +86,18 @@ def step(m: Model, d: Data, ctrl: jax.Array, n_substeps: int = 1) -> Data:
   if d.ctrl.dtype != d.qpos.dtype:
     d = d.replace(ctrl=jnp.asarray(d.ctrl, d.qpos.dtype))
 
-  def f(d, _):
-    d = physics.step(m, d.replace(ctrl=ctrl))
-    return d, None
-
   if n_substeps == 1:
     return physics.step(m, d.replace(ctrl=ctrl))
-  d, _ = jax.lax.scan(f, d, None, length=n_substeps)
-  return d
+
+  # sensors are pure outputs, so only the LAST substep fills them — the
+  # final sensordata is bitwise identical, the n-1 intermediate fills were
+  # dead work (round-5 perf)
+  def f(d, _):
+    d = physics.step(m, d.replace(ctrl=ctrl), sensors=False)
+    return d, None
+
+  d, _ = jax.lax.scan(f, d, None, length=n_substeps - 1)
+  return physics.step(m, d.replace(ctrl=ctrl))
 
 
 class Env(abc.ABC):

@@ -327,6 +327,23 @@ def make_constraints(m: Model, d: Data) -> Efc:
   return _assemble(m, d)
 
 
+def pair_groups(m: Model):
+  """Static (name, n_pairs, slots_per_pair, row_offset) per pair-group, in
+  the collider's slot order (pair-major blocks of ``slots_per_pair``)."""
+  from rsr_mjx_tpu.physics.io import GROUP_NCON
+
+  out = []
+  off = 0
+  for name, tbl in m.pairs:
+    P = len(tbl.arr)
+    if not P:
+      continue
+    k = GROUP_NCON[name]
+    out.append((name, P, k, off))
+    off += P * k
+  return out
+
+
 def contact_overflow(m: Model, d: Data):
   """(n_penetrating, truncated) active-contact diagnostic for ncon_sel.
 
@@ -479,10 +496,6 @@ def assemble_from_leaves(m: Model, lv: AssembleLeaves, contact=None) -> Efc:
       # (nsel × ncon) @ (ncon × F) contraction that lands on the MXU.
       # One-hot weights make it an exact gather, and gradients flow
       # through the matmul to the contact features like any dot product.
-      _, sel_idx = jax.lax.top_k(-con_dist, nsel)
-      onehot = (
-          sel_idx[:, None] == jnp.arange(m.ncon, dtype=sel_idx.dtype)
-      ).astype(dtype)  # (nsel, ncon)
       feat = jnp.concatenate(
           [
               con_dist[:, None],
@@ -495,6 +508,10 @@ def assemble_from_leaves(m: Model, lv: AssembleLeaves, contact=None) -> Efc:
           ],
           axis=1,
       )  # (ncon, 26)
+      _, sel_idx = jax.lax.top_k(-con_dist, nsel)
+      onehot = (
+          sel_idx[:, None] == jnp.arange(m.ncon, dtype=sel_idx.dtype)
+      ).astype(dtype)  # (nsel, ncon)
       sel = onehot @ feat  # (nsel, 26)
       c_dist = sel[:, 0]
       c_pos = sel[:, 1:4]

@@ -110,8 +110,14 @@ def fwd_position(m: Model, d: Data, collision: bool = True) -> Data:
   return d
 
 
-def forward(m: Model, d: Data) -> Data:
+def forward(m: Model, d: Data, sensors: bool = True) -> Data:
   """Full forward dynamics: fills qacc (and everything before it).
+
+  ``sensors=False`` skips the sensordata fill (round-5 perf): sensor
+  values are pure outputs — nothing inside the pipeline reads them — so a
+  multi-substep control step only needs them on its LAST substep (0.13 ms
+  × 3 wasted substeps at B=1024 otherwise; the final sensordata is
+  bitwise identical either way).
 
   The whole pipeline runs under matmul precision 'highest': on TPU the
   default lowers dot/einsum inputs to bf16 (8-bit mantissa ⇒ ~8 mm
@@ -129,7 +135,8 @@ def forward(m: Model, d: Data) -> Data:
     # fused narrow phase + assembly + Newton solve: the batched TPU path
     # keeps contact features and J in lanes end-to-end (no batch-major J)
     d = _solver.solve_fused(m, d)
-    d = _sensors.sensordata(m, d)
+    if sensors:
+      d = _sensors.sensordata(m, d)
   return d
 
 
@@ -203,8 +210,8 @@ def integrate(m: Model, d: Data) -> Data:
   return d.replace(qpos=qpos, qvel=qvel, qacc=qacc, time=d.time + h)
 
 
-def step(m: Model, d: Data) -> Data:
+def step(m: Model, d: Data, sensors: bool = True) -> Data:
   """One physics step: forward dynamics + integration."""
-  d = forward(m, d)
+  d = forward(m, d, sensors=sensors)
   with jax.default_matmul_precision('highest'):
     return integrate(m, d)

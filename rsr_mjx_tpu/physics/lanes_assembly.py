@@ -76,10 +76,27 @@ def _kbi_l(sr, dmax):
   )
 
 
+def _pair_slot0(m: Model) -> np.ndarray:
+  """Static first-slot id of each collision pair (slot order)."""
+  out = []
+  for _, P, k, off in C.pair_groups(m):
+    out.append(off + np.arange(P) * k)
+  return np.concatenate(out) if out else np.zeros((0,), np.int64)
+
+
 def assemble_lanes(
-    m: Model, lv: C.AssembleLeaves
-) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    m: Model, lv: C.AssembleLeaves, basis: bool = False
+):
   """Lanes-layout narrow phase + assembly over a batch.
+
+  ``basis=True`` (round-5, pyramid-basis kernel): instead of expanding
+  each selected contact into its 2·(condim−1) pyramid rows, return the
+  contact BASIS — U grouped [Jn | μ₁A₁ | …], per-basis aref components,
+  and the per-contact D (identical across a contact's rows) — plus the
+  structured rows [equality | dof friction | joint limits] as a normal
+  (J, aref, D, floss) block.  Requires the ncon_sel selection path with
+  uniform condim ≥ 2.  Returns
+  (J_s, aref_s, D_s, floss_s, dist_bm, U, arefU, D_c, naxes).
 
   ``lv`` leaves are batch-major with a leading batch axis B, EXCEPT
   ``hfield_data`` (always unbatched) and ``geom_size`` /
@@ -100,6 +117,8 @@ def assemble_lanes(
   nv = m.nv
   B = lv.qpos.shape[0]
   dtype = lv.qpos.dtype
+  if basis and not m.ncon:
+    raise ValueError('basis assembly requires a model with contacts')
 
   qpos_l = _lanes(lv.qpos)  # (nq, B)
   qvel_l = _lanes(lv.qvel)  # (nv, B)
@@ -230,41 +249,74 @@ def assemble_lanes(
     st_batched = lv.con_friction.ndim == 3
 
     if nsel:
-      # top-k nearest slots.  Selection indices come from the batch-major
-      # dist (top_k reduces the minor axis); the feature gather stays in
-      # lanes as a batched one-hot MXU contraction (nsel×ncon)@(ncon×13).
-      _, sel_idx = jax.lax.top_k(-dist_bm, nsel)  # (B, nsel)
-      onehot = (
-          sel_idx[..., None] == jnp.arange(m.ncon, dtype=sel_idx.dtype)
-      ).astype(dtype)  # (B, nsel, ncon)
+      # top-k nearest slots (global ascending-dist order, lowest-index
+      # ties — identical to the per-env lax.top_k path).  On TPU the whole
+      # selection runs inside one Pallas kernel (nsel masked-min
+      # extractions over VMEM-resident lanes arrays, static per-pair
+      # tables gathered at pair level); the XLA fallback is the one-hot
+      # einsum formulation.
+      from rsr_mjx_tpu.physics import linalg_kernels as _lk
+
       feat_dyn = jnp.concatenate(
           [dist_l[:, None], pos_l, frame_l.reshape(m.ncon, 9, B)], axis=1
       )  # (ncon, 13, B)
-      sel_dyn = jnp.einsum('bsc,cfb->sfb', onehot, feat_dyn)
-      c_dist = sel_dyn[:, 0]  # (nc, B)
-      c_pos = sel_dyn[:, 1:4]  # (nc, 3, B)
-      c_frame = sel_dyn[:, 4:13]  # (nc, 9, B)
       if st_batched:
-        feat_st = jnp.concatenate(
+        # DR-batched contact params ride the same gathers as the dynamic
+        # features
+        feat_stb = jnp.concatenate(
             [lv.con_friction, lv.con_solref, lv.con_solimp,
              lv.con_invweight[..., None]], axis=2
         )  # (B, ncon, 13)
-        sel_st = _lanes(jnp.einsum('bsc,bcf->bsf', onehot, feat_st))
+        feat_dyn = jnp.concatenate([feat_dyn, _lanes(feat_stb)], axis=1)
+        pair_table = np.asarray(dmask_all, np.float32)[_pair_slot0(m)]
       else:
         feat_st = jnp.concatenate(
             [lv.con_friction, lv.con_solref, lv.con_solimp,
              lv.con_invweight[:, None]], axis=1
-        )  # (ncon, 13)
-        sel_st = _lanes(
-            jnp.einsum('bsc,cf->bsf', onehot, feat_st.astype(dtype))
-        )  # (nsel, 13, B)
+        )  # (ncon, 13) — constant within a pair
+        pair_table = None  # built below (needs concrete feat_st)
+      nFd = feat_dyn.shape[1]
+
+      # DR-batched contact params double the kernel's VMEM-resident
+      # feature block past the scoped-vmem budget — that (rare) case takes
+      # the einsum fallback instead
+      if _lk._use_tpu_kernels() and not st_batched:
+        slot0 = _pair_slot0(m)
+        pair_struct = tuple(
+            (P, k, off) for _, P, k, off in C.pair_groups(m)
+        )
+        ptab = jnp.concatenate(
+            [feat_st[slot0].astype(dtype),
+             jnp.asarray(dmask_all[slot0], dtype)], axis=1
+        )  # (Ptot, 13 + nv)
+        sel = _lk.contact_select_lanes(
+            pair_struct, nsel, dist_l, feat_dyn, ptab
+        )  # (nsel, nFd + nst, B)
+      else:
+        _, sel_idx = jax.lax.top_k(-dist_bm, nsel)  # (B, nsel)
+        onehot = (
+            sel_idx[..., None] == jnp.arange(m.ncon, dtype=sel_idx.dtype)
+        ).astype(dtype)  # (B, nsel, ncon)
+        parts = [jnp.einsum('bsc,cfb->sfb', onehot, feat_dyn)]
+        if not st_batched:
+          parts.append(_lanes(
+              jnp.einsum('bsc,cf->bsf', onehot, feat_st.astype(dtype))
+          ))
+        parts.append(_lanes(
+            jnp.einsum('bsc,cv->bsv', onehot, jnp.asarray(dmask_all, dtype))
+        ))
+        sel = jnp.concatenate(parts, axis=1)
+
+      c_dist = sel[:, 0]  # (nc, B)
+      c_pos = sel[:, 1:4]  # (nc, 3, B)
+      c_frame = sel[:, 4:13]  # (nc, 9, B)
+      sel_st = sel[:, 13:26] if st_batched else sel[:, nFd : nFd + 13]
       c_friction = sel_st[:, 0:5]
       c_solref = sel_st[:, 5:7]
       c_solimp = sel_st[:, 7:12]
       c_invw = sel_st[:, 12]
-      dmask = _lanes(
-          jnp.einsum('bsc,cv->bsv', onehot, jnp.asarray(dmask_all, dtype))
-      )  # (nc, nv, B)
+      dm_off = nFd if st_batched else nFd + 13
+      dmask = sel[:, dm_off : dm_off + nv]  # (nc, nv, B)
       groups = [(int(C._condims_static(m)[0]), slice(None))]
     else:
       bc = lambda a: jnp.broadcast_to(a, a.shape[:-1] + (B,))
@@ -315,6 +367,47 @@ def assemble_lanes(
       jac_r.append(ang[k][None] * dmask)
 
     Jn = contract(jac_p, c_frame, 0)  # (nc, nv, B)
+
+    if basis:
+      (cd0, sel_g0) = groups[0]
+      if not (nsel and isinstance(sel_g0, slice) and cd0 >= 2):
+        raise ValueError(
+            'basis assembly requires the ncon_sel path with condim >= 2'
+        )
+      nf = cd0 - 1
+      axes = [
+          contract(jac_p, c_frame, 3),  # t1
+          contract(jac_p, c_frame, 6),  # t2
+          contract(jac_r, c_frame, 0),  # torsion
+          contract(jac_r, c_frame, 3),  # roll1
+          contract(jac_r, c_frame, 6),  # roll2
+      ][:nf]
+      U_parts = [jnp.swapaxes(Jn, 0, 1)]  # (nv, nc, B)
+      velU = [jnp.sum(Jn * qvel_l[None], axis=1)]  # (nc, B)
+      for i in range(nf):
+        Ai = c_friction[:, i][:, None, :] * axes[i]  # μᵢAᵢ (nc, nv, B)
+        U_parts.append(jnp.swapaxes(Ai, 0, 1))
+        velU.append(jnp.sum(Ai * qvel_l[None], axis=1))
+      U_basis = jnp.concatenate(U_parts, axis=1)  # (nv, (nf+1)·nc, B)
+      imp_c = _impedance_l(c_solimp, c_dist)
+      kk_c, bb_c = _kbi_l(c_solref, c_solimp[:, 1])
+      mu0 = c_friction[:, 0]
+      diagA_c = c_invw * 2.0 * jnp.maximum(mu0 * mu0, _MJ_MINVAL) / impratio
+      Rreg_c = jnp.maximum(
+          _MJ_MINVAL, (1.0 - imp_c) / jnp.maximum(imp_c, _MJ_MINVAL)
+          * diagA_c
+      )
+      sep_c = c_dist >= 0.0
+      D_c = jnp.where(sep_c, 0.0, 1.0 / Rreg_c)
+      aref_n = jnp.where(
+          sep_c, 0.0, -bb_c * velU[0] - kk_c * imp_c * c_dist
+      )
+      arefU = jnp.concatenate(
+          [aref_n]
+          + [jnp.where(sep_c, 0.0, -bb_c * v) for v in velU[1:]], axis=0
+      )
+      basis_out = (U_basis, arefU, D_c, nf)
+      groups = []
 
     for cd, sel_g in groups:
       if isinstance(sel_g, slice):
@@ -376,8 +469,13 @@ def assemble_lanes(
   floss = jnp.concatenate(floss_blocks, axis=0)
   margin = jnp.concatenate(margin_blocks, axis=0)
 
-  kind = lay.kind
-  assert J.shape[1] == lay.nefc, (J.shape, lay)
+  if basis:
+    n_struct = lay.n_eq + lay.n_fri + lay.n_lim
+    kind = lay.kind[:n_struct]
+    assert J.shape[1] == n_struct, (J.shape, lay)
+  else:
+    kind = lay.kind
+    assert J.shape[1] == lay.nefc, (J.shape, lay)
 
   imp = _impedance_l(si, pos - margin)
   kk, bb = _kbi_l(sr, si[:, 1])  # dmax = raw solimp[1] (reference parity)
@@ -397,4 +495,6 @@ def assemble_lanes(
 
   if not m.ncon:
     dist_bm = jnp.zeros((B, 0), dtype)
+  if basis:
+    return (J, aref, D, floss, dist_bm) + basis_out
   return J, aref, D, floss, dist_bm

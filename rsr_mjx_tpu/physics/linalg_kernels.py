@@ -358,6 +358,486 @@ def _newton_kernel(
   qf_out[...] = matvec_Jt(force)
 
 
+# ---------------------------------------------------------------------------
+# Fused top-k contact selection kernel (round-5 perf).
+#
+# The XLA selection path (lax.top_k + (B, nsel, ncon) one-hot einsums)
+# costs ~0.54 ms/substep at B=1024 on the Airbot scene — the one-hot is a
+# 47 MB HBM intermediate and the feature einsums lower to badly-utilized
+# batched-tiny matmuls.  This kernel runs the identical selection — global
+# top-nsel by ascending dist, lowest-slot-index tie-break, exactly
+# lax.top_k's order — as nsel masked-min extractions over VMEM-resident
+# lanes arrays, gathering each selected slot's features as it goes.
+# Per-slot STATIC tables (solver params, dof masks) are constant within a
+# collision pair, so they are gathered at pair level via a slot→pair
+# reduction of the selection mask (16x less work for box_box pairs).
+# ---------------------------------------------------------------------------
+
+
+def _select_kernel(
+    ncon: int,
+    Fd: int,
+    nsel: int,
+    pair_struct: tuple,
+    nst: int,
+    dist_ref,
+    feat_ref,
+    pairtab_ref,
+    out_ref,
+):
+  """dist (ncon, E), feat (ncon, Fd, E), pairtab (Ptot, nst, E)
+  (grid-invariant static per-pair columns); out (nsel, Fd+nst, E), row j =
+  features of the j-th nearest slot."""
+  dtype = feat_ref.dtype
+  dist = dist_ref[...]
+  feat = feat_ref[...]
+  E = dist.shape[-1]
+  sidx = jax.lax.broadcasted_iota(jnp.int32, (ncon, 1), 0)
+  taken = jnp.zeros((ncon, E), dtype=jnp.bool_)
+  rows = []
+  for _ in range(nsel):
+    masked = jnp.where(taken, 1e30, dist)
+    dmin = jnp.min(masked, axis=0, keepdims=True)  # (1, E)
+    is_min = masked <= dmin
+    cand = jnp.where(is_min, sidx, ncon + 1)  # (ncon, E)
+    imin = jnp.min(cand, axis=0, keepdims=True)
+    first = cand == imin  # exactly one true per lane
+    taken = taken | first
+    fm = first.astype(dtype)
+    parts = [jnp.sum(fm[:, None, :] * feat, axis=0)]  # (Fd, E)
+    if nst:
+      poh_parts = []
+      for P, k, off in pair_struct:
+        blk = fm[off : off + P * k].reshape(P, k, E)
+        poh_parts.append(jnp.sum(blk, axis=1))
+      poh = jnp.concatenate(poh_parts, axis=0)  # (Ptot, E)
+      parts.append(
+          jnp.sum(poh[:, None, :] * pairtab_ref[...], axis=0)
+      )  # (nst, E)
+    rows.append(jnp.concatenate(parts, axis=0))
+  out_ref[...] = jnp.stack(rows, axis=0)
+
+
+def contact_select_lanes(
+    pair_struct: tuple,
+    nsel: int,
+    dist_l: jax.Array,
+    feat_dyn: jax.Array,
+    pair_table: np.ndarray,
+):
+  """Top-nsel contact selection + feature gather, fused on TPU.
+
+  dist_l (ncon, B) lanes; feat_dyn (ncon, Fd, B) per-slot dynamic
+  features; pair_table (Ptot, nst) STATIC per-pair columns (gathered at
+  pair level — exact because every slot of a pair shares them);
+  pair_struct = static ((P, k, off), ...) slot-layout of the pair groups.
+  Returns sel (nsel, Fd + nst, B): row j = features of the j-th nearest
+  slot (ascending dist, lowest-index ties — lax.top_k order)."""
+  ncon, Fd, B = feat_dyn.shape
+  nst = int(pair_table.shape[1]) if pair_table is not None else 0
+  Ptot = int(pair_table.shape[0]) if nst else 0
+  BE = _BE
+  Bp = _round_up(max(B, 1), BE)
+  if Bp != B:
+    pad = Bp - B
+    dist_l = jnp.concatenate(
+        [dist_l, jnp.full((ncon, pad), _BIG, dist_l.dtype)], axis=-1
+    )
+    feat_dyn = jnp.concatenate(
+        [feat_dyn, jnp.zeros((ncon, Fd, pad), feat_dyn.dtype)], axis=-1
+    )
+  if nst:
+    ptab = jnp.broadcast_to(
+        jnp.asarray(pair_table, feat_dyn.dtype)[:, :, None],
+        (Ptot, nst, BE),
+    )
+  else:
+    ptab = jnp.zeros((1, 1, BE), feat_dyn.dtype)
+  kernel = functools.partial(
+      _select_kernel, ncon, Fd, nsel, pair_struct, nst
+  )
+  out = pl.pallas_call(
+      kernel,
+      out_shape=jax.ShapeDtypeStruct((nsel, Fd + nst, Bp), feat_dyn.dtype),
+      grid=(Bp // BE,),
+      in_specs=[
+          pl.BlockSpec((ncon, BE), lambda i: (0, i),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((ncon, Fd, BE), lambda i: (0, 0, i),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec(ptab.shape[:2] + (BE,), lambda i: (0, 0, 0),
+                       memory_space=pltpu.VMEM),
+      ],
+      out_specs=pl.BlockSpec((nsel, Fd + nst, BE), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+      interpret=_INTERPRET,
+  )(dist_l, feat_dyn, ptab)
+  return out[:, :, :B]
+
+
+# ---------------------------------------------------------------------------
+# Pyramid-basis Newton kernel (round-5 perf).
+#
+# For uniform-condim pyramid contacts (the ncon_sel selection path), the
+# 2·(condim−1) rows of contact c are ± combinations of a (condim)-vector
+# basis:  row(±, i) = Jn_c ± μᵢ·Aᵢ_c.  Every J-shaped cost in the Newton
+# loop — residual matvecs, JᵀCJ Hessian accumulation, Jᵀ force products —
+# then only needs the basis columns:
+#
+#   H_c = U_c S_c U_cᵀ with U_c = [Jn, μ₁A₁, …],  S symmetric from the
+#   per-row curvatures, accumulated as Σ_k W_k U_kᵀ with W = U S (W_k[a]
+#   U_k[b] is symmetric entrywise because S is), i.e. condim outer
+#   products per contact instead of 2·(condim−1).
+#
+# For Airbot cube-push (24 contacts × 6 rows + 37 structured rows) the
+# row-reduction work drops from 184 to 133 rows (−28%), and the per-row
+# penalty logic on contact rows specializes to the one-sided quadratic
+# (no friction-loss/Huber branches).  Parity vs the generic kernel is
+# pinned by tests/test_fused_solve.py.
+# ---------------------------------------------------------------------------
+
+
+def _newton_kernel_pyr(
+    nv: int,
+    Rs: int,
+    C: int,
+    naxes: int,
+    iters: int,
+    ls_iters: int,
+    M_ref,
+    a0_ref,
+    x0_ref,
+    Js_ref,
+    arefs_ref,
+    Ds_ref,
+    fls_ref,
+    ones_ref,
+    fric_ref,
+    U_ref,
+    arefU_ref,
+    Dc_ref,
+    x_out,
+    fs_out,
+    fc_out,
+    qf_out,
+):
+  """U layout: rows [Jn(C) | μ₁A₁(C) | … | μₙAₙ(C)]; fc_out rows grouped
+  [axis, ±, contact] (reordered to row-major outside the kernel)."""
+  dtype = M_ref.dtype
+  J = Js_ref[...]  # (nv, Rs, E)
+  arefs = arefs_ref[...]  # (Rs, E)
+  Ds = Ds_ref[...]
+  fls = fls_ref[...]
+  U = U_ref[...]  # (nv, (naxes+1)·C, E)
+  arefU = arefU_ref[...]  # ((naxes+1)·C, E)
+  Dc = Dc_ref[...]  # (C, E)
+  M = M_ref[...]
+  a0 = a0_ref[...]
+  x = x0_ref[...]
+
+  ones_m = ones_ref[...][:, :1]  # (Rs, 1)
+  fric_m = fric_ref[...][:, :1]
+  ri = jax.lax.broadcasted_iota(jnp.int32, (nv, nv, 1), 0)
+  ci = jax.lax.broadcasted_iota(jnp.int32, (nv, nv, 1), 1)
+  eye = (ri == ci).astype(dtype)
+
+  def mv(A, v):  # (nv, R, E), (nv, E) -> (R, E)
+    return jnp.sum(A * v[:, None, :], axis=0)
+
+  def mvT(A, s):  # (nv, R, E), (R, E) -> (nv, E)
+    return jnp.sum(A * s[None, :, :], axis=1)
+
+  def matvec_M(v):
+    return jnp.sum(M * v[None, :, :], axis=1)
+
+  def con_se(r):
+    """One-sided quadratic (contact rows): (ŝ', ŝ'')."""
+    act = (r < 0).astype(dtype)
+    return Dc * r * act, Dc * act
+
+  rs = mv(J, x) - arefs  # (Rs, E)
+  rU = mv(U, x) - arefU  # ((naxes+1)·C, E) basis residuals
+
+  for _ in range(iters):
+    sg_s, sc_s = _penalty_se(rs, Ds, fls, ones_m, fric_m)
+    rho_n = rU[0:C]
+    sgp, sgm, scp, scm = [], [], [], []
+    for i in range(naxes):
+      rho_i = rU[(1 + i) * C : (2 + i) * C]
+      g, c = con_se(rho_n + rho_i)
+      sgp.append(g)
+      scp.append(c)
+      g, c = con_se(rho_n - rho_i)
+      sgm.append(g)
+      scm.append(c)
+
+    # grad = M(x−a0) + Jᵀŝ' over all rows, via the basis for contacts
+    w_parts = [sum(p + q for p, q in zip(sgp, sgm))]
+    w_parts += [p - q for p, q in zip(sgp, sgm)]
+    w = jnp.concatenate(w_parts, axis=0)  # ((naxes+1)·C, E)
+    xa = x - a0
+    grad = matvec_M(xa) + mvT(J, sg_s) + mvT(U, w)
+
+    # H = M + JᵀCJ: structured rows as (J, J·c) pairs, contacts as
+    # (W, U) pairs with W = U S (see module comment)
+    S00 = sum(p + q for p, q in zip(scp, scm))  # (C, E)
+    Un = U[:, 0:C, :]
+    Wn = S00[None] * Un
+    Wi_parts = []
+    for i in range(naxes):
+      Ui = U[:, (1 + i) * C : (2 + i) * C, :]
+      S0i = scp[i] - scm[i]
+      Sii = scp[i] + scm[i]
+      Wn = Wn + S0i[None] * Ui
+      Wi_parts.append(S0i[None] * Un + Sii[None] * Ui)
+    Wmat = jnp.concatenate([Wn] + Wi_parts, axis=1)  # (nv, (naxes+1)·C, E)
+
+    # lower-tri accumulation over BOTH row families without concatenating
+    # them (a (nv, Rt, E) concat per iteration is a pure VMEM copy)
+    P_s = J * sc_s[None]
+    tri_rows = []
+    for a in range(nv):
+      vals = (
+          jnp.sum(J[a][None, :, :] * P_s[a:], axis=1)
+          + jnp.sum(Wmat[a][None, :, :] * U[a:], axis=1)
+      )  # (nv-a, E)
+      if a:
+        vals = jnp.concatenate(
+            [jnp.zeros((a,) + vals.shape[1:], dtype), vals], axis=0
+        )
+      tri_rows.append(vals)
+    T = jnp.stack(tri_rows, axis=0)
+    H = T + jnp.swapaxes(T, 0, 1) - eye * T
+    H = H + M
+    dmax = jnp.max(jnp.max(H * eye, axis=0), axis=0, keepdims=True)
+    H = H + eye * (1e-6 * dmax + 1e-12)[None]
+    cols, djs = _chol_cols(H, nv, 1e-12)
+    dx = -_cho_solve_cols(cols, djs, grad, nv)
+
+    # line search on φ(t)
+    mdx = matvec_M(dx)
+    jdx_s = mv(J, dx)  # (Rs, E)
+    u = mv(U, dx)  # ((naxes+1)·C, E)
+    un = u[0:C]
+    g0 = jnp.sum(xa * mdx, axis=0, keepdims=True)
+    h0 = jnp.sum(dx * mdx, axis=0, keepdims=True)
+    t = jnp.ones_like(g0)
+    for _ in range(ls_iters):
+      rt_s = rs + t * jdx_s
+      sg, sc = _penalty_se(rt_s, Ds, fls, ones_m, fric_m)
+      dphi = g0 + t * h0 + jnp.sum(sg * jdx_s, axis=0, keepdims=True)
+      ddphi = h0 + jnp.sum(sc * jdx_s * jdx_s, axis=0, keepdims=True)
+      rtn = rho_n + t * un
+      for i in range(naxes):
+        ui = u[(1 + i) * C : (2 + i) * C]
+        rti = rU[(1 + i) * C : (2 + i) * C] + t * ui
+        jp = un + ui
+        jm = un - ui
+        gp, cp = con_se(rtn + rti)
+        gm, cm = con_se(rtn - rti)
+        dphi = dphi + jnp.sum(gp * jp + gm * jm, axis=0, keepdims=True)
+        ddphi = ddphi + jnp.sum(
+            cp * jp * jp + cm * jm * jm, axis=0, keepdims=True
+        )
+      t = jnp.clip(t - dphi / jnp.maximum(ddphi, 1e-12), 0.0, 4.0)
+
+    # monotone accept on Δφ(t)
+    s_old = jnp.sum(
+        _penalty_cost_rows(rs, Ds, fls, ones_m, fric_m), axis=0,
+        keepdims=True,
+    )
+    s_new = jnp.sum(
+        _penalty_cost_rows(rs + t * jdx_s, Ds, fls, ones_m, fric_m),
+        axis=0, keepdims=True,
+    )
+    rtn = rho_n + t * un
+    for i in range(naxes):
+      ui = u[(1 + i) * C : (2 + i) * C]
+      rti = rU[(1 + i) * C : (2 + i) * C] + t * ui
+      rho_i = rU[(1 + i) * C : (2 + i) * C]
+      for r_old, r_new in (
+          (rho_n + rho_i, rtn + rti),
+          (rho_n - rho_i, rtn - rti),
+      ):
+        s_old = s_old + jnp.sum(
+            0.5 * Dc * r_old * r_old * (r_old < 0).astype(dtype),
+            axis=0, keepdims=True,
+        )
+        s_new = s_new + jnp.sum(
+            0.5 * Dc * r_new * r_new * (r_new < 0).astype(dtype),
+            axis=0, keepdims=True,
+        )
+    delta = t * g0 + 0.5 * t * t * h0 + s_new - s_old
+    accept = delta < 0
+    x = jnp.where(accept, x + t * dx, x)
+    rs = jnp.where(accept, rs + t * jdx_s, rs)
+    rU = jnp.where(accept, rU + t * u, rU)
+
+  # final forces
+  sg_s, _ = _penalty_se(rs, Ds, fls, ones_m, fric_m)
+  rho_n = rU[0:C]
+  fc_parts = []
+  wf_n = jnp.zeros_like(rho_n)
+  wf_parts = []
+  for i in range(naxes):
+    rho_i = rU[(1 + i) * C : (2 + i) * C]
+    gp, _ = con_se(rho_n + rho_i)
+    gm, _ = con_se(rho_n - rho_i)
+    fc_parts.append(-gp)
+    fc_parts.append(-gm)
+    wf_n = wf_n + (-gp) + (-gm)
+    wf_parts.append((-gp) - (-gm))
+  fs = -sg_s
+  wf = jnp.concatenate([wf_n] + wf_parts, axis=0)
+  x_out[...] = x
+  fs_out[...] = fs
+  fc_out[...] = (
+      jnp.concatenate(fc_parts, axis=0)
+      if naxes
+      else jnp.zeros((0, rho_n.shape[-1]), dtype)
+  )
+  qf_out[...] = mvT(J, fs) + mvT(U, wf)
+
+
+def newton_solve_lanes_pyr(
+    iterations: int,
+    ls_iterations: int,
+    kind_s: np.ndarray,
+    M: jax.Array,
+    a0: jax.Array,
+    x0: jax.Array,
+    Js: jax.Array,
+    arefs: jax.Array,
+    Ds: jax.Array,
+    fls: jax.Array,
+    U: jax.Array,
+    arefU: jax.Array,
+    Dc: jax.Array,
+    naxes: int,
+):
+  """Pyramid-basis fused Newton solve.
+
+  M (B, nv, nv), a0/x0 (B, nv) batch-major; structured rows Js (nv, Rs0,
+  B) + arefs/Ds/fls (Rs0, B) with static kinds ``kind_s``; contact basis
+  U (nv, (naxes+1)·C, B) grouped [Jn | μ₁A₁ | …], arefU likewise, Dc
+  (C, B).  Returns (x (B, nv), force (B, Rs0 + 2·naxes·C) in the original
+  row order [structured | contact-major, axis, ±], qfrc (B, nv)).
+  """
+  from rsr_mjx_tpu.physics import constraint as _constraint
+
+  nv = M.shape[-1]
+  Rs0, B = arefs.shape
+  W1C = U.shape[1]
+  C = W1C // (naxes + 1)
+  Rs = _round_up(max(Rs0, 8), 8)
+  Cp = _round_up(max(C, 8), 8)
+  BE = _BE
+  Bp = _round_up(max(B, 1), BE)
+
+  onesided = (kind_s == _constraint.LIMIT) | (kind_s == _constraint.CONTACT)
+  fric = kind_s == _constraint.FRICTION
+  if Rs != Rs0:  # pad with inert friction rows
+    pad = Rs - Rs0
+    onesided = np.concatenate([onesided, np.zeros(pad, bool)])
+    fric = np.concatenate([fric, np.ones(pad, bool)])
+    zrow = lambda a: jnp.concatenate(
+        [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0
+    )
+    arefs, Ds, fls = zrow(arefs), zrow(Ds), zrow(fls)
+    Js = jnp.concatenate([Js, jnp.zeros((nv, pad, B), Js.dtype)], axis=1)
+  if Cp != C:  # pad contacts with inert (Dc=0) slots
+    pad = Cp - C
+    Dc = jnp.concatenate([Dc, jnp.zeros((pad, B), Dc.dtype)], axis=0)
+    Ug = [U[:, k * C : (k + 1) * C, :] for k in range(naxes + 1)]
+    au = [arefU[k * C : (k + 1) * C] for k in range(naxes + 1)]
+    zU = jnp.zeros((nv, pad, B), U.dtype)
+    za = jnp.zeros((pad, B), arefU.dtype)
+    U = jnp.concatenate(
+        sum(([u, zU] for u in Ug), []), axis=1
+    )
+    arefU = jnp.concatenate(sum(([a, za] for a in au), []), axis=0)
+
+  if Bp != B:
+    pad = Bp - B
+    eyeM = jnp.broadcast_to(
+        jnp.eye(nv, dtype=M.dtype)[None], (pad, nv, nv)
+    )
+    M = jnp.concatenate([M, eyeM], axis=0)
+    zb = lambda a: jnp.concatenate(
+        [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0
+    )
+    a0, x0 = zb(a0), zb(x0)
+    zl = lambda a: jnp.concatenate(
+        [a, jnp.zeros(a.shape[:-1] + (pad,), a.dtype)], axis=-1
+    )
+    Js, arefs, Ds, fls = zl(Js), zl(arefs), zl(Ds), zl(fls)
+    U, arefU, Dc = zl(U), zl(arefU), zl(Dc)
+
+  Mt = jnp.transpose(M, (1, 2, 0))
+  a0t = jnp.transpose(a0, (1, 0))
+  x0t = jnp.transpose(x0, (1, 0))
+
+  kernel = functools.partial(
+      _newton_kernel_pyr, nv, Rs, Cp, naxes, iterations, ls_iterations
+  )
+  ones_in = jnp.broadcast_to(
+      jnp.asarray(onesided.astype(np.float32))[:, None], (Rs, BE)
+  )
+  fric_in = jnp.broadcast_to(
+      jnp.asarray(fric.astype(np.float32))[:, None], (Rs, BE)
+  )
+  vec_spec = pl.BlockSpec((nv, BE), lambda i: (0, i), memory_space=pltpu.VMEM)
+  rs_spec = pl.BlockSpec((Rs, BE), lambda i: (0, i), memory_space=pltpu.VMEM)
+  nc_rows = 2 * naxes * Cp
+  xt, fst, fct, qft = pl.pallas_call(
+      kernel,
+      out_shape=(
+          jax.ShapeDtypeStruct((nv, Bp), Mt.dtype),
+          jax.ShapeDtypeStruct((Rs, Bp), Mt.dtype),
+          jax.ShapeDtypeStruct((nc_rows, Bp), Mt.dtype),
+          jax.ShapeDtypeStruct((nv, Bp), Mt.dtype),
+      ),
+      grid=(Bp // BE,),
+      in_specs=[
+          pl.BlockSpec((nv, nv, BE), lambda i: (0, 0, i),
+                       memory_space=pltpu.VMEM),
+          vec_spec,
+          vec_spec,
+          pl.BlockSpec((nv, Rs, BE), lambda i: (0, 0, i),
+                       memory_space=pltpu.VMEM),
+          rs_spec,
+          rs_spec,
+          rs_spec,
+          pl.BlockSpec((Rs, BE), lambda i: (0, 0), memory_space=pltpu.VMEM),
+          pl.BlockSpec((Rs, BE), lambda i: (0, 0), memory_space=pltpu.VMEM),
+          pl.BlockSpec((nv, (naxes + 1) * Cp, BE), lambda i: (0, 0, i),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec(((naxes + 1) * Cp, BE), lambda i: (0, i),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((Cp, BE), lambda i: (0, i), memory_space=pltpu.VMEM),
+      ],
+      out_specs=(
+          vec_spec,
+          rs_spec,
+          pl.BlockSpec((nc_rows, BE), lambda i: (0, i),
+                       memory_space=pltpu.VMEM),
+          vec_spec,
+      ),
+      interpret=_INTERPRET,
+  )(Mt, a0t, x0t, Js, arefs, Ds, fls, ones_in, fric_in, U, arefU, Dc)
+
+  # fc rows are grouped [axis, ±, contact]; reorder to the assembly's
+  # row-major order [contact, axis, ±] and drop contact padding
+  fct = fct.reshape(naxes, 2, Cp, Bp)[:, :, :C, :]
+  fct = jnp.transpose(fct, (2, 0, 1, 3)).reshape(C * 2 * naxes, Bp)
+  force = jnp.concatenate([fst[:Rs0], fct], axis=0)  # (R0, Bp)
+  return (
+      jnp.transpose(xt[:, :B], (1, 0)),
+      jnp.transpose(force[:, :B], (1, 0)),
+      jnp.transpose(qft[:, :B], (1, 0)),
+  )
+
+
 def newton_kernel_fits(nv: int, nefc: int) -> bool:
   """Whether the fused kernel's VMEM working set fits at the 128-lane block.
 

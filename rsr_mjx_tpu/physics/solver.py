@@ -419,9 +419,32 @@ def _build_fused(m: Model):
     )
     return x, force, qfrc, dist
 
+  # pyramid-basis kernel applies on the uniform-condim selection path
+  # (see linalg_kernels._newton_kernel_pyr); the generic row kernel is the
+  # fallback for everything else
+  import os
+
+  _use_basis = bool(
+      ncon
+      and _constraint._selection_size(m)
+      and int(_constraint._condims_static(m)[0]) >= 2
+      and os.environ.get('RSR_DISABLE_BASIS_KERNEL', '0') != '1'
+  )
+  n_struct = lay.n_eq + lay.n_fri + lay.n_lim
+  kind_s = lay.kind[:n_struct]
+
   def _lanes_path(lv, M, a0, x0):
     from rsr_mjx_tpu.physics import lanes_assembly as _lanes
 
+    if _use_basis:
+      (J_s, aref_s, D_s, fl_s, dist_bm, U, arefU, D_c, naxes) = (
+          _lanes.assemble_lanes(m, lv, basis=True)
+      )
+      out = _lk.newton_solve_lanes_pyr(
+          kernel_iters, ls_eff, kind_s, M, a0, x0,
+          J_s, aref_s, D_s, fl_s, U, arefU, D_c, naxes,
+      )
+      return out + (dist_bm,)
     J_l, aref_l, D_l, floss_l, dist_bm = _lanes.assemble_lanes(m, lv)
     out = _lk.newton_solve_lanes(
         kind, kernel_iters, ls_eff, M, a0, x0, J_l, aref_l, D_l, floss_l
