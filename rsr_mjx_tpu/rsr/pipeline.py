@@ -70,10 +70,27 @@ def env_params_tuning(
     learning_rate: float = 0.005,
     error_weights: Optional[jnp.ndarray] = None,
     progress_every: int = 1,
+    rollout_horizon: int = 1,
+    per_dim_error: bool = False,
 ):
   """Tune physics parameters to match observed transitions.
 
   Returns (tuned_params, train_log) like rsr_pipeline.py:49-206.
+
+  The defaults reproduce the reference objective exactly: one-step
+  prediction, scalar ``|w · err|`` projection (rsr_pipeline.py:119-123).
+  Two default-off upgrades address its observability limits:
+
+  - ``rollout_horizon=k`` (k > 1): rows of ``obs``/``actions`` are treated
+    as one consecutive trajectory (which is how the deployment stack logs
+    them, real_robot_interface.py:49-85) and the loss sums prediction
+    error over k-step rollouts from every valid start.  Friction only
+    affects the dynamics while the cube slips; a one-step horizon barely
+    excites slip, while a k-step rollout compounds the parameter's effect
+    k times before comparing to data.
+  - ``per_dim_error=True``: loss per step is ``Σ_d |w_d · err_d|`` instead
+    of ``|Σ_d w_d · err_d|`` — the scalar projection lets signed errors in
+    different dimensions cancel, hiding gradient signal.
   """
   obs = jnp.asarray(obs)
   actions = jnp.asarray(actions)
@@ -120,14 +137,46 @@ def env_params_tuning(
     bound_env.bind_model(model)
     return bound_env.step(state, action)
 
-  def loss_fn(params):
-    def one(state, action, true_next):
-      next_state = step_with_params(params, state, action)
-      err = jnp.dot(error_weights, next_state.obs - true_next)
-      return jnp.abs(err)
+  def step_error(pred_obs, true_obs):
+    if per_dim_error:
+      return jnp.sum(jnp.abs(error_weights * (pred_obs - true_obs)))
+    return jnp.abs(jnp.dot(error_weights, pred_obs - true_obs))
 
-    errors = jax.vmap(one)(states, actions, next_obs_true)
-    return jnp.sum(errors)
+  k = int(rollout_horizon)
+  n = obs.shape[0]
+  if k > 1:
+    if n < k:
+      raise ValueError(
+          f'rollout_horizon={k} needs at least {k} transitions, have {n}'
+      )
+    # windows over the (consecutive) trajectory: start i rolls actions
+    # i..i+k-1 and is scored against next_obs_true[i..i+k-1]
+    starts = jnp.arange(n - k + 1)
+    widx = starts[:, None] + jnp.arange(k)[None, :]  # (S, k)
+    act_w = actions[widx]  # (S, k, act)
+    true_w = next_obs_true[widx]  # (S, k, obs)
+
+    def loss_fn(params):
+      def one(state, acts_k, true_k):
+        def body(s, inp):
+          a, t = inp
+          s2 = step_with_params(params, s, a)
+          return s2, step_error(s2.obs, t)
+
+        _, errs = jax.lax.scan(body, state, (acts_k, true_k))
+        return jnp.sum(errs)
+
+      start_states = jax.tree.map(lambda x: x[starts], states)
+      errors = jax.vmap(one)(start_states, act_w, true_w)
+      return jnp.sum(errors) / k
+  else:
+    def loss_fn(params):
+      def one(state, action, true_next):
+        next_state = step_with_params(params, state, action)
+        return step_error(next_state.obs, true_next)
+
+      errors = jax.vmap(one)(states, actions, next_obs_true)
+      return jnp.sum(errors)
 
   optimizer = optax.adam(learning_rate=learning_rate)
   opt_state = optimizer.init(init_env_params)

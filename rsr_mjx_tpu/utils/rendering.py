@@ -48,23 +48,28 @@ def render_array(
     width: int = 320,
     camera: Optional[str] = None,
     scene_option: Optional[mujoco.MjvOption] = None,
+    modify_scene=None,
 ) -> np.ndarray:
   """Render a qpos trajectory to (T, H, W, 3) uint8 frames.
 
   Mirrors reference mjx_env.render_array (mjx_env.py:173-212): per frame,
   write qpos into MjData, mj_forward for derived quantities, rasterize.
+  ``modify_scene(scene, frame_index)``, if given, may add decoration geoms
+  per frame (e.g. ``utils.gait.draw_joystick_command``).
   """
   d = mujoco.MjData(mjm)
   renderer = mujoco.Renderer(mjm, height=height, width=width)
   frames = []
   try:
-    for item in trajectory:
+    for i, item in enumerate(trajectory):
       d.qpos[:] = _qpos_of(item)
       mujoco.mj_forward(mjm, d)
       if camera is not None:
         renderer.update_scene(d, camera=camera, scene_option=scene_option)
       else:
         renderer.update_scene(d, scene_option=scene_option)
+      if modify_scene is not None:
+        modify_scene(renderer.scene, i)
       frames.append(renderer.render().copy())
   finally:
     renderer.close()

@@ -36,6 +36,16 @@ flags.DEFINE_float('min_scale', 0.2, 'Lower bound scale (min = init*scale).')
 flags.DEFINE_float('max_scale', 10.0, 'Upper bound scale.')
 flags.DEFINE_string('log_path', 'log.txt', 'Per-step log file.')
 flags.DEFINE_string('out', 'tuned_params.json', 'Result file.')
+flags.DEFINE_integer(
+    'rollout_horizon', 1,
+    'k-step rollout loss (1 = reference one-step objective). k>1 compounds '
+    "the parameter's effect through k chained steps, exciting slip-dependent "
+    'friction signal a one-step loss barely sees.')
+flags.DEFINE_bool(
+    'per_dim_error', False,
+    'Per-dimension |w_d err_d| error instead of the reference scalar '
+    '|w . err| projection (which lets signed errors cancel).')
+flags.DEFINE_float('lr', 0.005, 'Adam learning rate (reference: 0.005).')
 
 
 def main(argv):
@@ -70,11 +80,16 @@ def main(argv):
       actions=act_in,
       next_obs_true=next_obs,
       log_path=FLAGS.log_path,
+      learning_rate=FLAGS.lr,
+      rollout_horizon=FLAGS.rollout_horizon,
+      per_dim_error=FLAGS.per_dim_error,
   )
   result = {
       'tuned_friction': float(np.asarray(tuned)),
       'final_loss': train_log['loss'][-1],
       'num_steps': FLAGS.num_steps,
+      'rollout_horizon': FLAGS.rollout_horizon,
+      'per_dim_error': FLAGS.per_dim_error,
   }
   with open(FLAGS.out, 'w') as f:
     json.dump(result, f, indent=1)

@@ -42,6 +42,11 @@ flags.DEFINE_float('learning_rate', None, 'Override tuned value.')
 flags.DEFINE_integer('num_eval_envs', None, 'Override tuned value.')
 flags.DEFINE_integer('unroll_length', None, 'Override tuned value (PPO).')
 flags.DEFINE_integer('num_minibatches', None, 'Override tuned value (PPO).')
+flags.DEFINE_integer('grad_updates_per_step', None,
+                     'Override tuned value (SAC).')
+flags.DEFINE_integer('min_replay_size', None, 'Override tuned value (SAC).')
+flags.DEFINE_integer('max_replay_size', None, 'Override tuned value (SAC).')
+flags.DEFINE_float('discounting', None, 'Override tuned value.')
 flags.DEFINE_integer('num_updates_per_batch', None,
                      'Override tuned value (PPO).')
 flags.DEFINE_boolean('multihost', False,
@@ -91,6 +96,10 @@ def main(argv):
       'unroll_length',
       'num_minibatches',
       'num_updates_per_batch',
+      'grad_updates_per_step',
+      'min_replay_size',
+      'max_replay_size',
+      'discounting',
   ):
     if getattr(FLAGS, key) is not None and key in cfg:
       cfg[key] = getattr(FLAGS, key)

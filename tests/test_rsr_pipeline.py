@@ -95,6 +95,49 @@ def test_env_params_tuning_reduces_loss():
 
 
 @pytest.mark.slow
+def test_env_params_tuning_multistep():
+  """k-step rollout + per-dim error variant (default-off upgrades over
+  the reference one-step objective).  max_contacts=2 keeps the
+  grad-through-two-chained-solves compile small on CPU."""
+  env = envs.load('AirbotCubePush', max_contacts=2)
+  state = jax.jit(env.reset)(jax.random.PRNGKey(0))
+  step = jax.jit(env.step)
+  obs_rows, act_rows = [np.asarray(state.obs)], []
+  rng = jax.random.PRNGKey(1)
+  for _ in range(3):
+    rng, sub = jax.random.split(rng)
+    act = jax.random.uniform(sub, (5,), minval=-0.5, maxval=0.5)
+    state = step(state, act)
+    act_rows.append(np.asarray(act))
+    obs_rows.append(np.asarray(state.obs))
+  obs = np.stack(obs_rows)
+
+  tuned, log = pipeline.env_params_tuning(
+      env,
+      num_steps=2,
+      init_env_params=jnp.asarray(0.4),
+      env_params_min=jnp.asarray(0.08),
+      env_params_max=jnp.asarray(4.0),
+      obs=obs[:-1],
+      actions=np.stack(act_rows),
+      next_obs_true=obs[1:],
+      log_path=None,
+      rollout_horizon=2,
+      per_dim_error=True,
+  )
+  assert np.isfinite(log['loss']).all()
+  assert abs(float(np.asarray(tuned)) - 0.4) > 1e-6
+  # horizon must not exceed the data
+  with pytest.raises(ValueError):
+    pipeline.env_params_tuning(
+        env, num_steps=1, init_env_params=jnp.asarray(0.4),
+        env_params_min=jnp.asarray(0.08), env_params_max=jnp.asarray(4.0),
+        obs=obs[:-1], actions=np.stack(act_rows), next_obs_true=obs[1:],
+        log_path=None, rollout_horizon=99,
+    )
+
+
+@pytest.mark.slow
 def test_rsr_policy_training_end_to_end(tmp_path):
   """Tiny RSR PPO run on the real cube env with the penalty active."""
   env = envs.load('AirbotCubePush')

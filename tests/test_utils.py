@@ -28,3 +28,28 @@ def test_gait_rz():
   assert abs(float(gait.get_rz(-np.pi, 0.08))) < 1e-6
   assert float(gait.get_rz(0.0, 0.08)) > 0.07
   assert len(gait.GAIT_PHASES) == 5
+
+
+def test_draw_joystick_command():
+  """Arrow decoration adds one DECOR geom pointing along the rotated
+  command (reference capability: gait.py:30-67)."""
+  import mujoco
+
+  mjm = mujoco.MjModel.from_xml_string(
+      '<mujoco><worldbody><geom type="sphere" size="0.1"/></worldbody>'
+      '</mujoco>'
+  )
+  scn = mujoco.MjvScene(mjm, maxgeom=8)
+  n0 = scn.ngeom
+  # command straight ahead, heading +90deg → arrow along +y
+  gait.draw_joystick_command(
+      scn, cmd=(1.0, 0.0, 0.0), xyz=(0.0, 0.0, 0.3), theta=np.pi / 2
+  )
+  assert scn.ngeom == n0 + 1
+  g = scn.geoms[n0]
+  assert g.category == mujoco.mjtCatBit.mjCAT_DECOR
+  assert g.type == mujoco.mjtGeom.mjGEOM_ARROW.value
+  # arrow anchored at `from`, local z-axis along +y (heading 90°), unit len
+  np.testing.assert_allclose(g.pos, [0.0, 0.0, 0.3], atol=1e-8)
+  np.testing.assert_allclose(g.mat.reshape(3, 3)[:, 2], [0, 1, 0], atol=1e-6)
+  assert abs(g.size[2] - 1.0) < 1e-3
