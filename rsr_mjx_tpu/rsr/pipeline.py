@@ -56,6 +56,67 @@ def body_mass_param_setter(model, params):
   return model.replace(body_mass=model.body_mass.at[-1].set(params))
 
 
+def _make_tuning_loss(
+    step_with_params,
+    states,
+    actions,
+    next_obs_true,
+    error_weights,
+    rollout_horizon: int,
+    per_dim_error: bool,
+):
+  """Build the tuning objective ``params -> scalar loss``.
+
+  ``step_with_params(params, state, action) -> next_state`` supplies the
+  dynamics; factored out of env_params_tuning so the window/error logic
+  is unit-testable without compiling a gradient through the contact
+  solver (tests/test_rsr_pipeline.py).
+  """
+
+  def step_error(pred_obs, true_obs):
+    if per_dim_error:
+      return jnp.sum(jnp.abs(error_weights * (pred_obs - true_obs)))
+    return jnp.abs(jnp.dot(error_weights, pred_obs - true_obs))
+
+  k = int(rollout_horizon)
+  n = actions.shape[0]
+  if k > 1:
+    if n < k:
+      raise ValueError(
+          f'rollout_horizon={k} needs at least {k} transitions, have {n}'
+      )
+    # windows over the (consecutive) trajectory: start i rolls actions
+    # i..i+k-1 and is scored against next_obs_true[i..i+k-1]
+    starts = jnp.arange(n - k + 1)
+    widx = starts[:, None] + jnp.arange(k)[None, :]  # (S, k)
+    act_w = actions[widx]  # (S, k, act)
+    true_w = next_obs_true[widx]  # (S, k, obs)
+
+    def loss_fn(params):
+      def one(state, acts_k, true_k):
+        def body(s, inp):
+          a, t = inp
+          s2 = step_with_params(params, s, a)
+          return s2, step_error(s2.obs, t)
+
+        _, errs = jax.lax.scan(body, state, (acts_k, true_k))
+        return jnp.sum(errs)
+
+      start_states = jax.tree.map(lambda x: x[starts], states)
+      errors = jax.vmap(one)(start_states, act_w, true_w)
+      return jnp.sum(errors) / k
+  else:
+    def loss_fn(params):
+      def one(state, action, true_next):
+        next_state = step_with_params(params, state, action)
+        return step_error(next_state.obs, true_next)
+
+      errors = jax.vmap(one)(states, actions, next_obs_true)
+      return jnp.sum(errors)
+
+  return loss_fn
+
+
 def env_params_tuning(
     init_env,
     num_steps: int,
@@ -137,46 +198,10 @@ def env_params_tuning(
     bound_env.bind_model(model)
     return bound_env.step(state, action)
 
-  def step_error(pred_obs, true_obs):
-    if per_dim_error:
-      return jnp.sum(jnp.abs(error_weights * (pred_obs - true_obs)))
-    return jnp.abs(jnp.dot(error_weights, pred_obs - true_obs))
-
-  k = int(rollout_horizon)
-  n = obs.shape[0]
-  if k > 1:
-    if n < k:
-      raise ValueError(
-          f'rollout_horizon={k} needs at least {k} transitions, have {n}'
-      )
-    # windows over the (consecutive) trajectory: start i rolls actions
-    # i..i+k-1 and is scored against next_obs_true[i..i+k-1]
-    starts = jnp.arange(n - k + 1)
-    widx = starts[:, None] + jnp.arange(k)[None, :]  # (S, k)
-    act_w = actions[widx]  # (S, k, act)
-    true_w = next_obs_true[widx]  # (S, k, obs)
-
-    def loss_fn(params):
-      def one(state, acts_k, true_k):
-        def body(s, inp):
-          a, t = inp
-          s2 = step_with_params(params, s, a)
-          return s2, step_error(s2.obs, t)
-
-        _, errs = jax.lax.scan(body, state, (acts_k, true_k))
-        return jnp.sum(errs)
-
-      start_states = jax.tree.map(lambda x: x[starts], states)
-      errors = jax.vmap(one)(start_states, act_w, true_w)
-      return jnp.sum(errors) / k
-  else:
-    def loss_fn(params):
-      def one(state, action, true_next):
-        next_state = step_with_params(params, state, action)
-        return step_error(next_state.obs, true_next)
-
-      errors = jax.vmap(one)(states, actions, next_obs_true)
-      return jnp.sum(errors)
+  loss_fn = _make_tuning_loss(
+      step_with_params, states, actions, next_obs_true, error_weights,
+      rollout_horizon, per_dim_error,
+  )
 
   optimizer = optax.adam(learning_rate=learning_rate)
   opt_state = optimizer.init(init_env_params)

@@ -94,46 +94,57 @@ def test_env_params_tuning_reduces_loss():
   assert abs(float(np.asarray(tuned)) - 0.4) > 1e-6
 
 
-@pytest.mark.slow
-def test_env_params_tuning_multistep():
-  """k-step rollout + per-dim error variant (default-off upgrades over
-  the reference one-step objective).  max_contacts=2 keeps the
-  grad-through-two-chained-solves compile small on CPU."""
-  env = envs.load('AirbotCubePush', max_contacts=2)
-  state = jax.jit(env.reset)(jax.random.PRNGKey(0))
-  step = jax.jit(env.step)
-  obs_rows, act_rows = [np.asarray(state.obs)], []
-  rng = jax.random.PRNGKey(1)
-  for _ in range(3):
-    rng, sub = jax.random.split(rng)
-    act = jax.random.uniform(sub, (5,), minval=-0.5, maxval=0.5)
-    state = step(state, act)
-    act_rows.append(np.asarray(act))
-    obs_rows.append(np.asarray(state.obs))
-  obs = np.stack(obs_rows)
+def test_tuning_loss_multistep_math():
+  """k-step rollout windows + per-dim error of `_make_tuning_loss`,
+  verified against hand-computed values on synthetic linear dynamics
+  (grad-through-contact itself is covered by the k=1 test above and the
+  committed TPU demo, logs/rsr_demo_r4)."""
+  import collections
 
-  tuned, log = pipeline.env_params_tuning(
-      env,
-      num_steps=2,
-      init_env_params=jnp.asarray(0.4),
-      env_params_min=jnp.asarray(0.08),
-      env_params_max=jnp.asarray(4.0),
-      obs=obs[:-1],
-      actions=np.stack(act_rows),
-      next_obs_true=obs[1:],
-      log_path=None,
-      rollout_horizon=2,
-      per_dim_error=True,
+  S = collections.namedtuple('S', 'obs')
+
+  # dynamics: obs' = obs + p * a   (p the tuned parameter)
+  def step_with_params(p, state, action):
+    return S(obs=state.obs + p * action)
+
+  obs = jnp.asarray([[0.0, 0.0], [1.0, 0.0], [1.0, 2.0]])
+  actions = jnp.asarray([[1.0, 0.0], [0.0, 2.0], [1.0, 1.0]])
+  next_obs = jnp.asarray([[1.0, 0.0], [1.0, 2.0], [2.0, 3.0]])
+  states = S(obs=obs)
+  w = jnp.asarray([1.0, 10.0])
+
+  # ---- k=1 reference objective: |w . (obs + p*a - next)| summed
+  loss1 = pipeline._make_tuning_loss(
+      step_with_params, states, actions, next_obs, w, 1, False
   )
-  assert np.isfinite(log['loss']).all()
-  assert abs(float(np.asarray(tuned)) - 0.4) > 1e-6
+  # p=1 makes every prediction exact
+  assert float(loss1(jnp.asarray(1.0))) == pytest.approx(0.0)
+  # p=0: per-row |w . (obs - next)| summed
+  expect = sum(abs(float(jnp.dot(w, obs[i] - next_obs[i]))) for i in range(3))
+  assert float(loss1(jnp.asarray(0.0))) == pytest.approx(expect)
+
+  # ---- k=2 windows from starts {0, 1}, chained rollout, per-dim error
+  loss2 = pipeline._make_tuning_loss(
+      step_with_params, states, actions, next_obs, w, 2, True
+  )
+  assert float(loss2(jnp.asarray(1.0))) == pytest.approx(0.0)
+  p = 0.5
+  total = 0.0
+  for s0 in (0, 1):
+    cur = np.asarray(obs[s0])
+    for t in range(2):
+      cur = cur + p * np.asarray(actions[s0 + t])
+      total += np.sum(np.abs(np.asarray(w) * (cur - np.asarray(next_obs[s0 + t]))))
+  assert float(loss2(jnp.asarray(p))) == pytest.approx(total / 2, rel=1e-6)
+
+  # gradient flows through the chained rollout
+  g = jax.grad(lambda q: loss2(q))(jnp.asarray(0.5))
+  assert np.isfinite(float(g)) and abs(float(g)) > 0
+
   # horizon must not exceed the data
   with pytest.raises(ValueError):
-    pipeline.env_params_tuning(
-        env, num_steps=1, init_env_params=jnp.asarray(0.4),
-        env_params_min=jnp.asarray(0.08), env_params_max=jnp.asarray(4.0),
-        obs=obs[:-1], actions=np.stack(act_rows), next_obs_true=obs[1:],
-        log_path=None, rollout_horizon=99,
+    pipeline._make_tuning_loss(
+        step_with_params, states, actions, next_obs, w, 99, False
     )
 
 
