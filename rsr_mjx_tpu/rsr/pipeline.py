@@ -156,6 +156,19 @@ def env_params_tuning(
   obs = jnp.asarray(obs)
   actions = jnp.asarray(actions)
   next_obs_true = jnp.asarray(next_obs_true)
+  # strong-type the optimized params: a weak-typed python-scalar init
+  # (jnp.asarray(0.4)) changes aval after the first optax update and
+  # silently recompiles update_step a second time (~3 min of the demo's
+  # wall-clock before this fix)
+  init_env_params = jax.tree.map(
+      lambda p: jnp.asarray(p, dtype=jnp.float32), init_env_params
+  )
+  env_params_min = jax.tree.map(
+      lambda p: jnp.asarray(p, dtype=jnp.float32), env_params_min
+  )
+  env_params_max = jax.tree.map(
+      lambda p: jnp.asarray(p, dtype=jnp.float32), env_params_max
+  )
   if error_weights is None:
     # hand-tuned 23-dim weights of the reference (rsr_pipeline.py:120)
     error_weights = jnp.array(
