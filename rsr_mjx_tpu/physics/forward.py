@@ -211,7 +211,27 @@ def integrate(m: Model, d: Data) -> Data:
 
 
 def step(m: Model, d: Data, sensors: bool = True) -> Data:
-  """One physics step: forward dynamics + integration."""
+  """One physics step: forward dynamics + integration.
+
+  When the model admits it, the whole forward-plus-implicit-solve chain
+  runs as ONE fused region (physics/fwd_fused.py) whose batched TPU path
+  stays in lanes layout end-to-end — qM/qacc_smooth/qfrc_smooth no longer
+  round-trip through batch-major between the smooth, solver, and
+  integrator stages.  Semantics are identical to forward() + integrate()
+  (the fused base path composes the same per-env stage functions)."""
+  import os
+
+  from rsr_mjx_tpu.physics import fwd_fused as _ff
+
+  if _ff.supported(m) and os.environ.get('RSR_DISABLE_FWD_FUSED', '0') != '1':
+    with jax.default_matmul_precision('highest'):
+      d, qacc_i = _ff.forward_implicit_fused(m, d)
+      if sensors:
+        d = _sensors.sensordata(m, d)
+      h = m.opt.timestep
+      qvel = d.qvel + h * qacc_i
+      qpos = _integrate_pos(m, d.qpos, qvel, h)
+      return d.replace(qpos=qpos, qvel=qvel, qacc=qacc_i, time=d.time + h)
   d = forward(m, d, sensors=sensors)
   with jax.default_matmul_precision('highest'):
     return integrate(m, d)

