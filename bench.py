@@ -10,6 +10,7 @@ vs_baseline = value / (5e6 * n_chips / 8).
 """
 
 import json
+import os
 import time
 
 import jax
@@ -20,13 +21,18 @@ def main():
   from rsr_mjx_tpu import envs
 
   n_dev = len(jax.devices())
-  num_envs = 1024 * n_dev
+  # per-chip batch: 2048 envs fills the lanes-kernel grid better than 1024
+  # (fixed per-block overheads amortize over more 128-lane blocks)
+  num_envs = int(os.environ.get('RSR_BENCH_NUM_ENVS', '2048')) * n_dev
   steps = 50
 
   # top-k active-contact selection: Newton system sees ≤24 of the scene's
   # 480 contact slots (≤12 penetrate even under an end-effector slam;
   # bound asserted with margin in test_physics_contact.py).
-  env_core = envs.load('AirbotCubePush', max_contacts=24)
+  env_core = envs.load(
+      'AirbotCubePush',
+      max_contacts=int(os.environ.get('RSR_BENCH_MAX_CONTACTS', '24')),
+  )
   from rsr_mjx_tpu.envs import wrappers
 
   env = wrappers.wrap_for_training(

@@ -64,6 +64,7 @@ def _make_tuning_loss(
     error_weights,
     rollout_horizon: int,
     per_dim_error: bool,
+    valid: Optional[jnp.ndarray] = None,
 ):
   """Build the tuning objective ``params -> scalar loss``.
 
@@ -71,6 +72,11 @@ def _make_tuning_loss(
   dynamics; factored out of env_params_tuning so the window/error logic
   is unit-testable without compiling a gradient through the contact
   solver (tests/test_rsr_pipeline.py).
+
+  ``valid`` (n,) optionally marks transitions usable for fitting; a k-step
+  window containing ANY invalid transition contributes zero loss (real
+  logs contain episode boundaries — a cube re-spawn inside a window makes
+  its trajectory un-fittable by any physics parameter).
   """
 
   def step_error(pred_obs, true_obs):
@@ -87,7 +93,20 @@ def _make_tuning_loss(
       )
     # windows over the (consecutive) trajectory: start i rolls actions
     # i..i+k-1 and is scored against next_obs_true[i..i+k-1]
-    starts = jnp.arange(n - k + 1)
+    all_starts = np.arange(n - k + 1)
+    if valid is not None:
+      # STATIC filtering (the data is concrete): a window whose rollout
+      # crosses an episode boundary must not run at all — multiplying its
+      # error by zero afterwards still back-propagates NaN (0·NaN = NaN)
+      # through the shared params
+      vmat = np.asarray(valid)[all_starts[:, None] + np.arange(k)[None, :]]
+      all_starts = all_starts[np.all(vmat, axis=1)]
+      if all_starts.size == 0:
+        raise ValueError(
+            'no k-step window free of invalid transitions; shorten '
+            'rollout_horizon or pick a different segment'
+        )
+    starts = jnp.asarray(all_starts)
     widx = starts[:, None] + jnp.arange(k)[None, :]  # (S, k)
     act_w = actions[widx]  # (S, k, act)
     true_w = next_obs_true[widx]  # (S, k, obs)
@@ -106,12 +125,19 @@ def _make_tuning_loss(
       errors = jax.vmap(one)(start_states, act_w, true_w)
       return jnp.sum(errors) / k
   else:
+    keep = (
+        jnp.asarray(np.flatnonzero(np.asarray(valid)))
+        if valid is not None
+        else jnp.arange(n)
+    )
+
     def loss_fn(params):
       def one(state, action, true_next):
         next_state = step_with_params(params, state, action)
         return step_error(next_state.obs, true_next)
 
-      errors = jax.vmap(one)(states, actions, next_obs_true)
+      sel_states = jax.tree.map(lambda x: x[keep], states)
+      errors = jax.vmap(one)(sel_states, actions[keep], next_obs_true[keep])
       return jnp.sum(errors)
 
   return loss_fn
@@ -133,6 +159,7 @@ def env_params_tuning(
     progress_every: int = 1,
     rollout_horizon: int = 1,
     per_dim_error: bool = False,
+    estimate_init_qvel: bool = False,
 ):
   """Tune physics parameters to match observed transitions.
 
@@ -152,6 +179,15 @@ def env_params_tuning(
   - ``per_dim_error=True``: loss per step is ``Σ_d |w_d · err_d|`` instead
     of ``|Σ_d w_d · err_d|`` — the scalar projection lets signed errors in
     different dimensions cancel, hiding gradient signal.
+  - ``estimate_init_qvel=True``: initialize each start state's joint and
+    cube velocities from the finite difference of consecutive obs rows
+    (``(obs_{i+1} − obs_i) / ctrl_dt``).  The 23-dim obs carries no
+    velocities, and the reference's state reconstruction (rsr_pipeline.py:
+    75-98) starts every transition from near-zero qvel — harmless for its
+    one-step objective, but a k-step rollout from a wrongly-at-rest cube
+    compounds the initialization error k times, drowning the friction
+    signal (measured: the k=8 loss *decreases* as friction → 0.33 with
+    at-rest starts, while the true value is 0.9).
   """
   obs = jnp.asarray(obs)
   actions = jnp.asarray(actions)
@@ -190,17 +226,38 @@ def env_params_tuning(
   joint_qadr = jnp.asarray(env._joint_qadr)
   box_qadr = env._box_qadr
 
-  def build_state(ob):
+  if estimate_init_qvel:
+    # dof addresses for the arm joints and the cube free joint, recovered
+    # from the qpos addresses the env exposes (qposadr ↔ joint id is 1:1)
+    jnt_qposadr = np.asarray(m.jnt_qposadr.arr)
+    jnt_dofadr = np.asarray(m.jnt_dofadr.arr)
+    qadr_to_jnt = {int(q): j for j, q in enumerate(jnt_qposadr)}
+    joint_dofadr = jnp.asarray(
+        [jnt_dofadr[qadr_to_jnt[int(q)]] for q in np.asarray(joint_qadr)]
+    )
+    box_dofadr = int(jnt_dofadr[qadr_to_jnt[int(box_qadr)]])
+    dt = env.dt
+
+  def build_state(ob, ob_next):
     qpos = state_0.data.qpos
     qpos = qpos.at[joint_qadr].set(ob[0:6])
     # cube free-joint position from obs[12:15] (the reference writes this
     # via a body-id-as-qpos-index quirk, rsr_pipeline.py:87; we use the
     # correct free-joint qpos address for the same intent)
     qpos = qpos.at[box_qadr : box_qadr + 3].set(ob[12:15])
-    data = state_1.data.replace(qpos=qpos)
+    if estimate_init_qvel:
+      # clip to physical speeds (teleport-sized differences across episode
+      # boundaries are additionally excluded by the validity mask below)
+      v = jnp.clip((ob_next - ob) / dt, -10.0, 10.0)
+      qvel = jnp.zeros_like(state_0.data.qvel)
+      qvel = qvel.at[joint_dofadr].set(v[0:6])
+      qvel = qvel.at[box_dofadr : box_dofadr + 3].set(v[12:15])
+      data = state_1.data.replace(qpos=qpos, qvel=qvel)
+    else:
+      data = state_1.data.replace(qpos=qpos)
     return state_1.replace(data=data)
 
-  states = jax.vmap(build_state)(obs)
+  states = jax.vmap(build_state)(obs, next_obs_true)
 
   # ---- loss: Σ_i |w · (pred_i − true_i)|  (rsr_pipeline.py:119-123 —
   # jnp.dot then norm of the resulting scalar ≡ absolute value)
@@ -211,9 +268,19 @@ def env_params_tuning(
     bound_env.bind_model(model)
     return bound_env.step(state, action)
 
+  valid = None
+  if estimate_init_qvel:
+    # transitions that cross an episode boundary (cube re-spawned to
+    # new_cube_pos after success) are un-fittable: mark them invalid so
+    # no rollout window starts from or spans the teleport
+    jump = np.max(
+        np.abs(np.asarray(next_obs_true - obs)[:, 12:15]), axis=1
+    )
+    valid = jump < 0.15
+
   loss_fn = _make_tuning_loss(
       step_with_params, states, actions, next_obs_true, error_weights,
-      rollout_horizon, per_dim_error,
+      rollout_horizon, per_dim_error, valid=valid,
   )
 
   optimizer = optax.adam(learning_rate=learning_rate)
@@ -222,6 +289,13 @@ def env_params_tuning(
   @jax.jit
   def update_step(opt_state, params):
     loss, grads = jax.value_and_grad(loss_fn)(params)
+    # non-finite containment, same policy as the trainers' NonFiniteGuard:
+    # one ill-conditioned window (deep penetration at a window start) must
+    # not poison the whole fit — a NaN Adam update is irrecoverable since
+    # clip() propagates NaN
+    grads = jax.tree.map(
+        lambda g: jnp.where(jnp.isfinite(g), g, jnp.zeros_like(g)), grads
+    )
     updates, opt_state = optimizer.update(grads, opt_state)
     new_params = optax.apply_updates(params, updates)
     new_params = jax.tree.map(

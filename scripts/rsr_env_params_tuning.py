@@ -45,6 +45,11 @@ flags.DEFINE_bool(
     'per_dim_error', False,
     'Per-dimension |w_d err_d| error instead of the reference scalar '
     '|w . err| projection (which lets signed errors cancel).')
+flags.DEFINE_bool(
+    'estimate_init_qvel', False,
+    'Initialize start-state joint/cube velocities by finite-differencing '
+    'consecutive obs rows (the obs has no velocities; at-rest starts drown '
+    'the k-step friction signal in initialization error).')
 flags.DEFINE_float('lr', 0.005, 'Adam learning rate (reference: 0.005).')
 
 
@@ -83,6 +88,7 @@ def main(argv):
       learning_rate=FLAGS.lr,
       rollout_horizon=FLAGS.rollout_horizon,
       per_dim_error=FLAGS.per_dim_error,
+      estimate_init_qvel=FLAGS.estimate_init_qvel,
   )
   result = {
       'tuned_friction': float(np.asarray(tuned)),
@@ -90,6 +96,7 @@ def main(argv):
       'num_steps': FLAGS.num_steps,
       'rollout_horizon': FLAGS.rollout_horizon,
       'per_dim_error': FLAGS.per_dim_error,
+      'estimate_init_qvel': FLAGS.estimate_init_qvel,
   }
   with open(FLAGS.out, 'w') as f:
     json.dump(result, f, indent=1)

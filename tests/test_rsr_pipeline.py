@@ -147,6 +147,36 @@ def test_tuning_loss_multistep_math():
         step_with_params, states, actions, next_obs, w, 99, False
     )
 
+  # ---- validity mask: invalid transitions are filtered STATICALLY
+  # (post-hoc zero-weighting would still backprop NaN from a bad window)
+  valid = np.array([True, False, True])
+  # k=1: only rows 0 and 2 contribute
+  loss1v = pipeline._make_tuning_loss(
+      step_with_params, states, actions, next_obs, w, 1, False, valid=valid
+  )
+  expect = sum(
+      abs(float(jnp.dot(w, obs[i] - next_obs[i]))) for i in (0, 2)
+  )
+  assert float(loss1v(jnp.asarray(0.0))) == pytest.approx(expect)
+  # k=2: both windows span the invalid middle transition → no data left
+  with pytest.raises(ValueError):
+    pipeline._make_tuning_loss(
+        step_with_params, states, actions, next_obs, w, 2, False, valid=valid
+    )
+  # k=2 with only the last transition invalid keeps window {0}
+  valid2 = np.array([True, True, False])
+  loss2v = pipeline._make_tuning_loss(
+      step_with_params, states, actions, next_obs, w, 2, True, valid=valid2
+  )
+  assert float(loss2v(jnp.asarray(1.0))) == pytest.approx(0.0)
+  p = 0.5
+  total = 0.0
+  cur = np.asarray(obs[0])
+  for t in range(2):
+    cur = cur + p * np.asarray(actions[t])
+    total += np.sum(np.abs(np.asarray(w) * (cur - np.asarray(next_obs[t]))))
+  assert float(loss2v(jnp.asarray(p))) == pytest.approx(total / 2, rel=1e-6)
+
 
 @pytest.mark.slow
 def test_rsr_policy_training_end_to_end(tmp_path):
